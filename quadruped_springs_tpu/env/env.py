@@ -1,0 +1,364 @@
+"""QuadrupedEnv — functional, jit/vmap/scan-native gym-equivalent.
+
+TPU-native re-design of env/quadruped_gym_env.py: instead of a stateful
+gym.Env mutating a PyBullet client, the environment is a pair of pure
+functions over an explicit `EnvState` pytree:
+
+    env = QuadrupedEnv(EnvConfig(...))
+    state, obs = env.reset(key)
+    state, obs, reward, done, info = env.step(state, action)
+
+so thousands of domain-randomized environments batch with `vmap`, roll out
+with `lax.scan`, and shard over a device mesh with `shard_map` — replacing
+the reference's n_envs=1 SB3 VecEnv (load_model.py:113).
+
+Step semantics mirror quadruped_gym_env.py:227-256: store last action →
+optional Butterworth filter → ×action_repeat sub-steps (optional
+interpolation → action→command → PD+spring torques → 1 kHz dynamics step)
+→ task update → reward → termination (task or sim time > 10 s) →
+end-of-episode bonus → noisy sensor obs.
+
+Reset mirrors :278-329: fresh state → randomize scenario → settle 2500
+sim steps holding the init reference (skipped when a desired state is
+injected, the RSI path) → task/sensor reset.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from quadruped_springs_tpu.control import interfaces as ci
+from quadruped_springs_tpu.env import randomizers as rnd
+from quadruped_springs_tpu.models import dynamics as dyn
+from quadruped_springs_tpu.models import spatial as sp
+from quadruped_springs_tpu.models.go1_params import go1_config
+from quadruped_springs_tpu.ops import action_filter as af
+from quadruped_springs_tpu.ops import actuation as act
+from quadruped_springs_tpu.sensors import sensors as sn
+from quadruped_springs_tpu.tasks import tasks as tk
+
+ACTION_EPS = 0.01
+OBSERVATION_EPS = 0.01
+EPISODE_LENGTH = 10.0  # seconds (quadruped_gym_env.py:35)
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvConfig:
+    """The six string axes + flags — the reference's entire config surface
+    (quadruped_gym_env.py:52-70)."""
+    is_rl_gym_interface: bool = True
+    time_step: float = 0.001
+    action_repeat: int = 10
+    motor_control_mode: str = "PD"
+    task_env: str = "NO_TASK"
+    observation_space_mode: str = "ENCODER"
+    action_space_mode: str = "SYMMETRIC"
+    on_rack: bool = False
+    enable_springs: bool = False
+    enable_action_interpolation: bool = False
+    enable_action_filter: bool = False
+    env_randomizer_mode: str = "GROUND_RANDOMIZER"
+    curriculum_level: float = 0.0
+    settling_steps: int = 2500
+    max_ep_len: float = EPISODE_LENGTH
+    obs_noise: bool = True
+
+
+@struct.dataclass
+class EnvState:
+    robot: dyn.RobotState
+    task: tk.TaskState
+    scenario: rnd.ScenarioParams
+    filter_state: af.ButterFilterState
+    last_action: jnp.ndarray            # (action_dim,)
+    last_filtered_action: jnp.ndarray   # (action_dim,)
+    observed_torques: jnp.ndarray       # (12,) PD-clipped motor torques
+    spring_torques: jnp.ndarray         # (12,)
+    feet_in_contact: jnp.ndarray        # (4,) bool
+    feet_forces: jnp.ndarray            # (4,)
+    invalid_contact: jnp.ndarray        # () bool
+    sim_step_counter: jnp.ndarray       # () int32
+    env_step_counter: jnp.ndarray       # () int32
+    key: jax.Array
+
+
+class QuadrupedEnv:
+    """Static orchestrator: holds config-derived constants, exposes pure fns."""
+
+    def __init__(self, config: EnvConfig = EnvConfig(),
+                 demo_actions: jnp.ndarray | None = None):
+        if config.motor_control_mode == "TORQUE" and config.is_rl_gym_interface:
+            raise ValueError(
+                "TORQUE motor control mode is not supported for the RL gym "
+                "interface (quadruped_gym_env.py:167-168)")
+        self.config = config
+        self.cfg = go1_config(config.enable_springs)
+        self.iface = ci.make_interface(
+            self.cfg, config.motor_control_mode, config.action_space_mode,
+            config.task_env)
+        self.action_dim = self.iface.action_dim
+        td = tk.get_task(config.task_env)
+        if config.env_randomizer_mode != "NONE" and rnd.is_curriculum(
+                config.env_randomizer_mode):
+            td = tk.apply_curriculum(td)
+        self.task_def = dataclasses.replace(td, max_ep_len=config.max_ep_len)
+        self.env_time_step = config.time_step * config.action_repeat
+        self.filter_coeffs = af.butter_coeffs(1.0 / self.env_time_step)
+        self.sim_params = dyn.default_sim_params(config.time_step, config.on_rack)
+        self.suite = config.observation_space_mode
+        self.demo_actions = demo_actions
+        self.demo_len = None if demo_actions is None else int(demo_actions.shape[0])
+        if self.task_def.kind in ("demo", "continuous_demo") and demo_actions is None:
+            raise ValueError(f"task {config.task_env} needs demo_actions")
+        hi, lo, _ = sn.obs_limits(self.suite, self.cfg)
+        self.observation_high = hi + OBSERVATION_EPS
+        self.observation_low = lo - OBSERVATION_EPS
+        self.obs_dim = int(hi.shape[0])
+        # INIT_RACK_POSITION=[0,0,1] vs INIT_POSITION=[0,0,0.32] (configs:22-23)
+        self._init_z = 1.0 if config.on_rack else float(self.cfg.init_position[2])
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+    def _init_robot_state(self) -> dyn.RobotState:
+        return dyn.RobotState(
+            pos=jnp.array([0.0, 0.0, self._init_z], jnp.float32),
+            quat=jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32),
+            lin_vel=jnp.zeros(3, jnp.float32),
+            ang_vel=jnp.zeros(3, jnp.float32),
+            q=self.cfg.init_joint_angles,
+            qd=jnp.zeros(12, jnp.float32),
+        )
+
+    def _scenario_sim_params(self, scenario: rnd.ScenarioParams) -> dyn.SimParams:
+        return self.sim_params.replace(friction=scenario.friction)
+
+    def _apply_torques(self, model, scenario, robot, q_des, kp=None, kd=None):
+        """PD + one-sided springs, per sub-step (quadruped.py:288-321).
+        kp/kd override supports the landing wrappers' temporary gain switch
+        (landing_wrapper.py:18-36)."""
+        kp = self.cfg.motor_kp if kp is None else kp
+        kd = self.cfg.motor_kd if kd is None else kd
+        tau_m = act.pd_torque(q_des, robot.q, robot.qd, kp, kd,
+                              self.cfg.torque_limits)
+        if self.config.enable_springs:
+            tau_s = act.spring_torque(robot.q, robot.qd, scenario.spring_stiffness,
+                                      scenario.spring_damping,
+                                      self.cfg.spring_rest_angles)
+        else:
+            tau_s = jnp.zeros_like(tau_m)
+        return tau_m + tau_s, tau_m, tau_s
+
+    def _invalid_contact(self, model, robot) -> jnp.ndarray:
+        """Non-foot ground contact (knees, thighs, trunk underside) — the
+        termination surface of GetContactInfo's invalid contacts
+        (quadruped.py:224-258)."""
+        fk = dyn.leg_fk_base(model, robot.q)
+        R = sp.quat_to_mat(robot.quat)
+        # probe points: knee (calf origin), calf midpoint, thigh midpoint
+        knee = fk["o"][:, 2]                                    # (4,3)
+        foot = fk["foot"]
+        calf_mid = 0.5 * (knee + foot)
+        thigh_mid = 0.5 * (fk["o"][:, 1] + knee)
+        probes = jnp.concatenate([knee, calf_mid, thigh_mid], axis=0)  # (12,3)
+        z = (robot.pos + probes @ R.T)[:, 2]
+        limb_hit = jnp.any(z < 0.015)
+        trunk_hit = robot.pos[2] < 0.05
+        return limb_hit | trunk_hit
+
+    def _sensor_ctx(self, state: EnvState) -> sn.SensorContext:
+        return sn.make_context(
+            state.robot, state.feet_in_contact,
+            switched_controller=state.task.switched_controller,
+            is_jumping=state.task.is_jumping,
+        )
+
+    def _task_ctx(self, state: EnvState, model) -> tk.TaskCtx:
+        r = state.robot
+        return tk.TaskCtx(
+            pos=r.pos, lin_vel=r.lin_vel, rpy=sp.quat_to_rpy(r.quat),
+            quat=r.quat, q=r.q, qd=r.qd,
+            motor_torques=state.observed_torques,
+            feet_in_contact=state.feet_in_contact,
+            feet_forces=state.feet_forces,
+            invalid_contact=state.invalid_contact,
+            sim_time=self.sim_time(state),
+            is_flying=~jnp.any(state.feet_in_contact),
+            last_action=state.last_action,
+            is_fallen_height=self.cfg.is_fallen_height,
+        )
+
+    def sim_time(self, state: EnvState) -> jnp.ndarray:
+        return state.sim_step_counter.astype(jnp.float32) * self.config.time_step
+
+    # ------------------------------------------------------------------
+    # reset (quadruped_gym_env.py:278-329)
+    # ------------------------------------------------------------------
+    @partial(jax.jit, static_argnums=0)
+    def reset(self, key: jax.Array, desired_robot_state: dyn.RobotState | None = None):
+        key, k_scen, k_obs = jax.random.split(key, 3)
+        scenario = rnd.sample_scenario(
+            self.cfg, self.config.env_randomizer_mode, k_scen,
+            self.config.curriculum_level)
+        model = rnd.model_from_params(scenario)
+        params = self._scenario_sim_params(scenario)
+
+        robot = self._init_robot_state()
+        settle_cmd = ci.reference_to_command(self.iface, self.iface.init_pose)
+        if self.config.motor_control_mode == "CARTESIAN_PD":
+            settle_q_des = ci.action_to_command(
+                self.iface, ci.command_to_action(self.iface, self.iface.init_pose))
+        else:
+            settle_q_des = settle_cmd
+
+        if desired_robot_state is None:
+            def substep(r, _):
+                tau, _, _ = self._apply_torques(model, scenario, r, settle_q_des)
+                r2, _ = dyn.step(model, params, r, tau, self.cfg.velocity_limits)
+                return r2, None
+            # settle does NOT advance the sim counter (interface_base.py:197-199)
+            robot, _ = jax.lax.scan(substep, robot, None,
+                                    length=self.config.settling_steps)
+        else:
+            robot = desired_robot_state
+
+        last_action = ci.command_to_action(self.iface, self.iface.init_pose)
+        # prime contact/torque info from one dynamics evaluation
+        _, _, cinfo = dyn.forward_dynamics(model, params, robot, jnp.zeros(12))
+        state = EnvState(
+            robot=robot,
+            task=tk.init_task_state(self._mk_task_ctx0(robot, cinfo)),
+            scenario=scenario,
+            filter_state=af.filter_reset(self.action_dim, last_action),
+            last_action=last_action,
+            last_filtered_action=last_action,
+            observed_torques=jnp.zeros(12),
+            spring_torques=jnp.zeros(12),
+            feet_in_contact=cinfo["feet_in_contact"],
+            feet_forces=cinfo["foot_forces"],
+            invalid_contact=self._invalid_contact(model, robot),
+            sim_step_counter=jnp.asarray(0, jnp.int32),
+            env_step_counter=jnp.asarray(0, jnp.int32),
+            key=key,
+        )
+        obs = self._observe(state, k_obs)
+        return state, obs
+
+    def _mk_task_ctx0(self, robot, cinfo) -> tk.TaskCtx:
+        return tk.TaskCtx(
+            pos=robot.pos, lin_vel=robot.lin_vel, rpy=sp.quat_to_rpy(robot.quat),
+            quat=robot.quat, q=robot.q, qd=robot.qd,
+            motor_torques=jnp.zeros(12),
+            feet_in_contact=cinfo["feet_in_contact"],
+            feet_forces=cinfo["foot_forces"],
+            invalid_contact=jnp.asarray(False),
+            sim_time=jnp.asarray(0.0, jnp.float32),
+            is_flying=~jnp.any(cinfo["feet_in_contact"]),
+            last_action=jnp.zeros(self.action_dim),
+            is_fallen_height=self.cfg.is_fallen_height,
+        )
+
+    # ------------------------------------------------------------------
+    # step (quadruped_gym_env.py:227-256)
+    # ------------------------------------------------------------------
+    @partial(jax.jit, static_argnums=0)
+    def step(self, state: EnvState, action: jnp.ndarray, kp=None, kd=None):
+        model = rnd.model_from_params(state.scenario)
+        params = self._scenario_sim_params(state.scenario)
+        cfgc = self.config
+
+        curr = action
+        filt_state = state.filter_state
+        if cfgc.enable_action_filter:
+            filt_state, curr = af.filter_step(self.filter_coeffs, filt_state, curr)
+
+        prev = (state.last_filtered_action if cfgc.enable_action_filter
+                else state.last_action)
+
+        def substep(robot, i):
+            if cfgc.enable_action_interpolation:
+                frac = (i.astype(jnp.float32) + 1.0) / cfgc.action_repeat
+                a = prev + frac * (curr - prev)
+            else:
+                a = curr
+            q_des = ci.action_to_command(self.iface, a) if cfgc.is_rl_gym_interface else a
+            if cfgc.is_rl_gym_interface or cfgc.motor_control_mode != "TORQUE":
+                tau, tau_m, tau_s = self._apply_torques(model, state.scenario,
+                                                        robot, q_des, kp, kd)
+            else:
+                tau_m = act.torque_command(q_des, self.cfg.torque_limits)
+                tau_s = jnp.zeros_like(tau_m)
+                if cfgc.enable_springs:
+                    tau_s = act.spring_torque(
+                        robot.q, robot.qd, state.scenario.spring_stiffness,
+                        state.scenario.spring_damping, self.cfg.spring_rest_angles)
+                tau = tau_m + tau_s
+            robot2, info = dyn.step(model, params, robot, tau,
+                                    self.cfg.velocity_limits)
+            out = (info["feet_in_contact"], info["foot_forces"], tau_m, tau_s)
+            return robot2, out
+
+        robot, (contacts, forces, tau_ms, tau_ss) = jax.lax.scan(
+            substep, state.robot, jnp.arange(cfgc.action_repeat))
+
+        state = state.replace(
+            robot=robot,
+            filter_state=filt_state,
+            last_action=action,
+            last_filtered_action=curr if cfgc.enable_action_filter
+            else state.last_filtered_action,
+            observed_torques=tau_ms[-1],
+            spring_torques=tau_ss[-1],
+            feet_in_contact=contacts[-1],
+            feet_forces=forces[-1],
+            invalid_contact=self._invalid_contact(model, robot),
+            sim_step_counter=state.sim_step_counter + cfgc.action_repeat,
+            env_step_counter=state.env_step_counter + 1,
+        )
+
+        ctx = self._task_ctx(state, model)
+        task_state = tk.task_on_step(self.task_def, state.task, ctx)
+        state = state.replace(task=task_state)
+        reward = tk.task_reward(self.task_def, task_state, ctx,
+                                self.demo_actions, self.demo_len)
+        task_term = tk.task_terminated(self.task_def, task_state, ctx, self.demo_len)
+        timeout = self.sim_time(state) > cfgc.max_ep_len
+        done = task_term | timeout
+        reward = reward + jnp.where(
+            done, tk.task_reward_end(self.task_def, task_state, ctx), 0.0)
+
+        key, k_obs = jax.random.split(state.key)
+        state = state.replace(key=key)
+        obs = self._observe(state, k_obs)
+        info = {
+            "task_terminated": task_term,
+            "timeout": timeout,
+            "max_height": task_state.relative_max_height,
+            "max_fwd": task_state.max_forward_distance,
+            "feet_forces": state.feet_forces,
+            "switched_controller": task_state.switched_controller,
+        }
+        return state, obs, reward, done, info
+
+    def _observe(self, state: EnvState, key: jax.Array) -> jnp.ndarray:
+        ctx = self._sensor_ctx(state)
+        if self.config.obs_noise:
+            return sn.read_noisy_obs(self.suite, self.cfg, ctx, key)
+        return sn.read_obs(self.suite, ctx)
+
+    # ------------------------------------------------------------------
+    # conveniences mirroring the reference getters
+    # ------------------------------------------------------------------
+    def get_landing_action(self):
+        return ci.landing_action(self.iface)
+
+    def get_settling_action(self):
+        return ci.settling_action(self.iface)
+
+    def get_init_action(self):
+        return ci.command_to_action(self.iface, self.iface.init_pose)

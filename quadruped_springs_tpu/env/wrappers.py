@@ -1,0 +1,249 @@
+"""Wrappers — hybrid-control behavior composition as functional machines.
+
+TPU-native re-design of env/wrappers/* : the reference wrappers run Python
+while-loops of env.step inside one policy step (e.g. LandingWrapper holds
+the last action until the flight peak, then holds a fixed landing action
+until the episode ends, landing_wrapper.py:38-69). Here each wrapper is a
+pure function built from `lax.while_loop` / mode flags over the functional
+env — so a wrapped policy step is still a single jittable program.
+
+Implemented surface:
+  * LandingWrapper (+"2" variant exit criterion) — take-off/landing phases
+    with the temporary kp=60/kd=1.5 gain switch (landing_wrapper.py:18-36).
+  * LandingWrapperBackflip(2) — fixed take-off action [0,1,-1]×2 until
+    pitch ≥ 5π/8, then landing hold (landing_wrapper_backflip.py:8-81).
+  * LandingWrapperContinuous(2) — per-jump re-arming autopilot.
+  * GoToRestWrapper — after landing, ramp the action to the init pose over
+    1.0 s (springs) / 0.3 s (go_to_rest_wrapper.py:8-95).
+  * ObsFlatteningWrapper — identity here: observations are already flat
+    vectors (obs_flattening_wrapper.py:11-20 flattens the reference's dict).
+  * EvaluationWrapper — KPI extraction (max height / max fwd / feet forces)
+    is returned in `info` by QuadrupedEnv.step already; `episode_metrics`
+    aggregates them over a rollout.
+  * GetDemonstration/SaveDemo/RSI live in utils/demo.py (dataset I/O) and
+    QuadrupedEnv.reset(desired_robot_state=...) (exact state injection).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from quadruped_springs_tpu.env.env import EnvState, QuadrupedEnv
+
+LANDING_KP = 60.0   # landing_wrapper.py:22-26
+LANDING_KD = 1.5
+_G = 9.81
+
+
+@struct.dataclass
+class StepOut:
+    state: EnvState
+    obs: jnp.ndarray
+    reward: jnp.ndarray
+    done: jnp.ndarray
+    max_height: jnp.ndarray
+    max_fwd: jnp.ndarray
+
+
+def _pack(env, out):
+    state, obs, reward, done, info = out
+    return StepOut(state, obs, reward, done, info["max_height"], info["max_fwd"])
+
+
+class LandingWrapper:
+    """Post-take-off autopilot (landing_wrapper.py / landing_wrapper_2.py).
+
+    variant="peak_timer": take-off phase repeats the action until the
+      vz/g peak timer elapses (v1).
+    variant="until_grounded": take-off phase ends when no longer flying (v2).
+    """
+
+    def __init__(self, env: QuadrupedEnv, variant: str = "peak_timer"):
+        self.env = env
+        self.variant = variant
+        self.landing_action = env.get_landing_action()
+        kp12 = jnp.full(12, LANDING_KP)
+        kd12 = jnp.full(12, LANDING_KD)
+        self._landing_gains = (kp12, kd12)
+
+    @partial(jax.jit, static_argnums=0)
+    def step(self, state: EnvState, action: jnp.ndarray):
+        env = self.env
+        out = _pack(env, env.step(state, action))
+
+        def take_off_and_land(out: StepOut) -> StepOut:
+            # --- take-off phase: repeat action until peak (or grounded) ---
+            t_peak = out.state.robot.lin_vel[2] / _G
+            deadline = env.sim_time(out.state) + t_peak
+
+            def cond_take_off(o):
+                if self.variant == "until_grounded":
+                    flying = ~jnp.any(o.state.feet_in_contact)
+                    return flying & ~o.done
+                return (env.sim_time(o.state) < deadline) & ~o.done
+
+            def body_take_off(o):
+                return _pack(env, env.step(o.state, action))
+
+            out = jax.lax.while_loop(cond_take_off, body_take_off, out)
+
+            # --- landing phase: hold landing action, soft gains, to the end
+            def cond_land(o):
+                return ~o.done
+
+            def body_land(o):
+                kp, kd = self._landing_gains
+                return _pack(env, env.step(o.state, self.landing_action,
+                                           kp=kp, kd=kd))
+
+            return jax.lax.while_loop(cond_land, body_land, out)
+
+        switched = out.state.task.switched_controller & ~out.done
+        return jax.lax.cond(switched, take_off_and_land, lambda o: o, out)
+
+    def reset(self, key):
+        return self.env.reset(key)
+
+
+class LandingWrapperBackflip:
+    """Backflip autopilot (landing_wrapper_backflip.py:8-81): once the task
+    triggers, drive the fixed take-off action [0,1,-1]*2 until the unwrapped
+    pitch exceeds 5π/8, then hold the landing action until episode end."""
+
+    TAKE_OFF_ACTION = jnp.array([0.0, 1.0, -1.0, 0.0, 1.0, -1.0])
+    PITCH_THRESHOLD = 5 * jnp.pi / 8
+
+    def __init__(self, env: QuadrupedEnv):
+        if env.action_dim != 6:
+            raise ValueError("backflip landing wrapper expects SYMMETRIC actions")
+        self.env = env
+        self.landing_action = env.get_landing_action()
+        self._landing_gains = (jnp.full(12, LANDING_KP), jnp.full(12, LANDING_KD))
+
+    @partial(jax.jit, static_argnums=0)
+    def step(self, state: EnvState, action: jnp.ndarray):
+        env = self.env
+        out = _pack(env, env.step(state, action))
+
+        def autopilot(out: StepOut) -> StepOut:
+            from quadruped_springs_tpu.models import spatial as sp
+
+            def pitch(o):
+                return sp.pitch_unwrapped_yxz(
+                    o.state.robot.quat, o.state.task.switched_controller)
+
+            def cond_flip(o):
+                return (pitch(o) < self.PITCH_THRESHOLD) & ~o.done
+
+            def body_flip(o):
+                return _pack(env, env.step(o.state, self.TAKE_OFF_ACTION))
+
+            out = jax.lax.while_loop(cond_flip, body_flip, out)
+
+            def body_land(o):
+                kp, kd = self._landing_gains
+                return _pack(env, env.step(o.state, self.landing_action,
+                                           kp=kp, kd=kd))
+
+            return jax.lax.while_loop(lambda o: ~o.done, body_land, out)
+
+        switched = out.state.task.switched_controller & ~out.done
+        return jax.lax.cond(switched, autopilot, lambda o: o, out)
+
+    def reset(self, key):
+        return self.env.reset(key)
+
+
+@struct.dataclass
+class ContinuousLandingState:
+    armed: jnp.ndarray  # () bool — autopilot re-arms every jump
+
+
+class LandingWrapperContinuous:
+    """Per-jump autopilot for continuous jumping
+    (landing_wrapper_continuous.py / *2.py): when a jump is detected, repeat
+    the action to the peak (v1 then holds the landing action until the jump
+    ends); re-arms on every jump."""
+
+    def __init__(self, env: QuadrupedEnv, hold_landing: bool = True):
+        self.env = env
+        self.hold_landing = hold_landing
+        self.landing_action = env.get_landing_action()
+
+    def init_state(self) -> ContinuousLandingState:
+        return ContinuousLandingState(armed=jnp.asarray(True))
+
+    @partial(jax.jit, static_argnums=0)
+    def step(self, state: EnvState, wstate: ContinuousLandingState,
+             action: jnp.ndarray):
+        env = self.env
+        out = _pack(env, env.step(state, action))
+
+        def autopilot(out: StepOut) -> StepOut:
+            t_peak = out.state.robot.lin_vel[2] / _G
+            deadline = env.sim_time(out.state) + t_peak
+
+            def cond_up(o):
+                return (env.sim_time(o.state) < deadline) & ~o.done
+
+            out = jax.lax.while_loop(
+                cond_up, lambda o: _pack(env, env.step(o.state, action)), out)
+
+            if self.hold_landing:
+                def cond_down(o):
+                    flying = ~jnp.any(o.state.feet_in_contact)
+                    return flying & ~o.done
+
+                out = jax.lax.while_loop(
+                    cond_down,
+                    lambda o: _pack(env, env.step(o.state, self.landing_action)),
+                    out)
+            return out
+
+        jumping = out.state.task.is_jumping & wstate.armed & ~out.done
+        out2 = jax.lax.cond(jumping, autopilot, lambda o: o, out)
+        new_w = ContinuousLandingState(armed=jnp.asarray(True))
+        return out2, new_w
+
+    def reset(self, key):
+        return self.env.reset(key)
+
+
+class GoToRestWrapper:
+    """After the jump has landed (feet down + controller switched), ramp the
+    action from the landing action to the init action (go_to_rest_wrapper.py:
+    8-95; ramp duration 1.0 s with springs, 0.3 s without)."""
+
+    def __init__(self, env: QuadrupedEnv):
+        self.env = env
+        self.duration = 1.0 if env.config.enable_springs else 0.3
+        self.n_ramp = max(int(self.duration / env.env_time_step), 1)
+        self.target_action = env.get_init_action()
+
+    @partial(jax.jit, static_argnums=0)
+    def rest_phase(self, state: EnvState, start_action: jnp.ndarray):
+        """Drive the ramp then hold until episode end. Returns final StepOut."""
+        env = self.env
+        out = _pack(env, env.step(state, start_action))
+
+        def body(i, o):
+            frac = jnp.minimum((i + 1.0) / self.n_ramp, 1.0)
+            a = start_action * (1 - frac) + frac * self.target_action
+            nxt = _pack(env, env.step(o.state, a))
+            return jax.tree.map(lambda x, y: jnp.where(o.done, x, y), o, nxt)
+
+        return jax.lax.fori_loop(0, self.n_ramp, body, out)
+
+
+def episode_metrics(rewards, infos):
+    """EvaluationWrapper-style episode KPIs from stacked step outputs."""
+    return {
+        "return": jnp.sum(rewards),
+        "max_height": jnp.max(infos["max_height"]),
+        "max_fwd": jnp.max(infos["max_fwd"]),
+        "peak_feet_force": jnp.max(jnp.sum(infos["feet_forces"], axis=-1)),
+    }

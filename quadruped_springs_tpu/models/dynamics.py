@@ -1,0 +1,419 @@
+"""Floating-base rigid-body dynamics for Go1 — analytic, batched, TPU-first.
+
+This module replaces the reference's PyBullet C++ engine surface
+(stepSimulation + setJointMotorControl2(TORQUE) + getJointState/getBase*,
+quadruped_gym_env.py:218-225, quadruped.py:288-321) with closed-form
+articulated dynamics:
+
+  * CRBA mass matrix + RNEA bias forces in **base coordinates**, exploiting
+    the Go1 star topology (4 identical 3-joint serial legs hanging off a
+    free-flyer trunk). The 18x18 system is solved with a Schur complement:
+    four 3x3 leg blocks + one 6x6 base block — all tiny dense ops that vmap
+    over legs and over scenario batches onto the TPU VPU; no dynamic shapes,
+    no per-body Python loops beyond the fixed depth-3 chain unroll.
+  * Compliant foot-sphere-vs-plane contact with regularized Coulomb friction
+    (PyBullet solves an LCP with 30 iterations, quadruped_gym_env.py:113;
+    a compliant model is the natural XLA-friendly equivalent).
+  * Semi-implicit Euler at 1 kHz (time_step=0.001, quadruped_gym_env.py:55),
+    joint velocity clamp at 30.1 rad/s (quadruped.py:678-683) and joint-limit
+    penalty torques (PyBullet enforces URDF limits as constraints).
+
+Conventions: quaternions xyzw; spatial vectors [angular; linear]; the
+generalized velocity is u = [ω_b(3); v_b(3); qd(12)] with base twist
+expressed in the base frame (so du/dt equals the spatial acceleration
+components — Featherstone §2.10).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from quadruped_springs_tpu.models import spatial as sp
+from quadruped_springs_tpu.models.go1_params import Go1Model
+
+# Real actuator joint limits (urdf:117,169,196) used for limit penalties.
+REAL_LOWER = jnp.array([-1.0471975512, -0.663225115758, -2.72271363311] * 4)
+REAL_UPPER = jnp.array([1.0471975512, 2.96705972839, -0.837758040957] * 4)
+
+
+@struct.dataclass
+class RobotState:
+    """Dynamic state of one robot. All world-frame quantities for direct
+    parity with PyBullet getters (GetBasePosition / GetBaseLinearVelocity /
+    GetBaseAngularVelocity, quadruped.py:150-185)."""
+    pos: jnp.ndarray        # (3,) base origin, world
+    quat: jnp.ndarray       # (4,) xyzw, base->world
+    lin_vel: jnp.ndarray    # (3,) base origin velocity, world
+    ang_vel: jnp.ndarray    # (3,) angular velocity, world
+    q: jnp.ndarray          # (12,) joint angles
+    qd: jnp.ndarray         # (12,) joint velocities
+
+
+@struct.dataclass
+class SimParams:
+    """Contact / integration parameters (compliant-contact tuning knobs)."""
+    dt: float = struct.field(pytree_node=False, default=0.001)
+    contact_stiffness: jnp.ndarray = None   # N/m
+    contact_damping: jnp.ndarray = None     # N s/m
+    friction: jnp.ndarray = None            # lateral mu (randomized in [0.5,1])
+    slip_vel_tol: float = struct.field(pytree_node=False, default=0.02)
+    joint_limit_stiffness: float = struct.field(pytree_node=False, default=300.0)
+    joint_limit_damping: float = struct.field(pytree_node=False, default=3.0)
+    on_rack: bool = struct.field(pytree_node=False, default=False)
+
+
+def default_sim_params(dt: float = 0.001, on_rack: bool = False) -> SimParams:
+    return SimParams(
+        dt=dt,
+        contact_stiffness=jnp.asarray(30000.0),
+        contact_damping=jnp.asarray(600.0),
+        friction=jnp.asarray(1.0),  # quadruped.py:670-676 sets mu=1.0
+        on_rack=on_rack,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forward kinematics of the dynamics tree (base frame). Unlike
+# kinematics.py (analytic leg-frame model with l1=0.0847 used for control &
+# observation parity), this uses the true URDF tree (hip y=0.04675 + thigh
+# y=0.08) so the physics matches the simulated robot.
+# ---------------------------------------------------------------------------
+
+def _rot_x(t):
+    c, s = jnp.cos(t), jnp.sin(t)
+    one, zero = jnp.ones_like(t), jnp.zeros_like(t)
+    return jnp.stack(
+        [one, zero, zero, zero, c, -s, zero, s, c], axis=-1
+    ).reshape(t.shape + (3, 3))
+
+
+def _rot_y(t):
+    c, s = jnp.cos(t), jnp.sin(t)
+    one, zero = jnp.ones_like(t), jnp.zeros_like(t)
+    return jnp.stack(
+        [c, zero, s, zero, one, zero, -s, zero, c], axis=-1
+    ).reshape(t.shape + (3, 3))
+
+
+def leg_fk_base(model: Go1Model, q: jnp.ndarray):
+    """FK of all legs in the base frame.
+
+    Args:
+      q: (12,) joint angles.
+    Returns dict with, per leg (leading dim 4):
+      R: (4,3,3,3) body rotations (hip,thigh,calf), o: (4,3,3) body origins,
+      axes: (4,3,3) joint axes in base coords, foot: (4,3) foot points.
+    """
+    ql = q.reshape(4, 3)
+    R1 = _rot_x(ql[:, 0])                      # (4,3,3)
+    R2 = R1 @ _rot_y(ql[:, 1])
+    R3 = R2 @ _rot_y(ql[:, 2])
+    o1 = model.hip_origins                     # (4,3)
+    o2 = o1 + jnp.einsum("lij,lj->li", R1, model.thigh_origins)
+    o3 = o2 + jnp.einsum("lij,j->li", R2, model.calf_origin)
+    foot = o3 + jnp.einsum("lij,j->li", R3, model.foot_origin)
+    x_axis = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], dtype=q.dtype), (4, 3))
+    a1 = x_axis                                # hip axis: x in trunk frame
+    y_axis = jnp.array([0.0, 1.0, 0.0], dtype=q.dtype)
+    a2 = R1 @ y_axis                           # thigh axis: y in hip frame
+    a3 = R2 @ y_axis                           # calf axis: y in thigh frame
+    R = jnp.stack([R1, R2, R3], axis=1)        # (4,3,3,3)
+    o = jnp.stack([o1, o2, o3], axis=1)        # (4,3,3)
+    axes = jnp.stack([a1, a2, a3], axis=1)     # (4,3,3)
+    return {"R": R, "o": o, "axes": axes, "foot": foot}
+
+
+def _motion_subspaces(fk):
+    """Plücker motion axes s = [a; o × a] per joint, base coords. (4,3,6)."""
+    a = fk["axes"]
+    o = fk["o"]
+    return jnp.concatenate([a, jnp.cross(o, a)], axis=-1)
+
+
+def _body_inertias_base(model: Go1Model, fk):
+    """Spatial inertias of leg bodies expressed about the base origin. (4,3,6,6)."""
+    return sp.transform_spatial_inertia(model.leg_inertias6, fk["R"], fk["o"])
+
+
+def mass_matrix_blocks(model: Go1Model, q: jnp.ndarray, fk=None):
+    """CRBA in base coordinates, returned in star-topology block form.
+
+    Returns:
+      A: (6,6) base block, B: (4,6,3) base-leg coupling, D: (4,3,3) leg blocks,
+      plus fk/s for reuse.
+    """
+    if fk is None:
+        fk = leg_fk_base(model, q)
+    s = _motion_subspaces(fk)                  # (4,3,6)
+    I_b = _body_inertias_base(model, fk)       # (4,3,6,6)
+    # composite inertias from tip: Ic[j] = sum_{b>=j} I_b
+    Ic2 = I_b[:, 2]
+    Ic1 = I_b[:, 1] + Ic2
+    Ic0 = I_b[:, 0] + Ic1
+    Ic = jnp.stack([Ic0, Ic1, Ic2], axis=1)    # (4,3,6,6)
+    # F[j] = Ic[j] s[j]  -> base-leg coupling columns
+    F = jnp.einsum("ljab,ljb->lja", Ic, s)     # (4,3,6)
+    B = jnp.swapaxes(F, 1, 2)                  # (4,6,3)
+    # D[i,j] = s_i^T Ic_max(i,j) s_j ; build via F: D[i,j>=i] = F_j^T s_i
+    D = jnp.einsum("lja,lia->lij", F, s)       # D[l,i,j] = s_i . F_j = s_i^T Ic_j s_j
+    # valid for j >= i; symmetrize using upper triangle (j >= i)
+    iu = jnp.triu(jnp.ones((3, 3), dtype=bool))
+    D = jnp.where(iu, D, jnp.swapaxes(D, -1, -2))
+    A = model.trunk_inertia6 + jnp.sum(Ic0, axis=0)
+    return A, B, D, fk, s
+
+
+def bias_forces(model: Go1Model, state_rot: jnp.ndarray, u: jnp.ndarray,
+                fk, s) -> jnp.ndarray:
+    """RNEA with qdd=0 and the gravity trick (a_root = [0; -R^T g]).
+
+    Args:
+      state_rot: (3,3) base rotation matrix (body->world).
+      u: (18,) generalized velocity [w_b, v_b, qd].
+    Returns:
+      h: (18,) bias force (Coriolis + centrifugal + gravity).
+    """
+    v0 = u[:6]
+    qd = u[6:].reshape(4, 3)
+    I_legs = _body_inertias_base(model, fk)    # (4,3,6,6)
+
+    # body velocities down each chain
+    v1 = v0 + s[:, 0] * qd[:, 0:1]
+    v2 = v1 + s[:, 1] * qd[:, 1:2]
+    v3 = v2 + s[:, 2] * qd[:, 2:3]
+    v = jnp.stack([v1, v2, v3], axis=1)        # (4,3,6)
+
+    g_base = state_rot.T @ model.gravity
+    a0 = jnp.concatenate([jnp.zeros(3, dtype=u.dtype), -g_base])
+    a1 = a0 + sp.spatial_cross_motion(v1, s[:, 0]) * qd[:, 0:1]
+    a2 = a1 + sp.spatial_cross_motion(v2, s[:, 1]) * qd[:, 1:2]
+    a3 = a2 + sp.spatial_cross_motion(v3, s[:, 2]) * qd[:, 2:3]
+    a = jnp.stack([a1, a2, a3], axis=1)        # (4,3,6)
+
+    # net forces f = I a + v x* (I v)
+    Iv = jnp.einsum("ljab,ljb->lja", I_legs, v)
+    f = jnp.einsum("ljab,ljb->lja", I_legs, a) + sp.spatial_cross_force(v, Iv)
+    # accumulate from tip
+    f2 = f[:, 2]
+    f1 = f[:, 1] + f2
+    f0 = f[:, 0] + f1
+    f_acc = jnp.stack([f0, f1, f2], axis=1)    # (4,3,6)
+    h_joints = jnp.einsum("lja,lja->lj", s, f_acc).reshape(12)
+
+    Itv = model.trunk_inertia6 @ v0
+    f_trunk = model.trunk_inertia6 @ a0 + sp.spatial_cross_force(v0, Itv)
+    h_base = f_trunk + jnp.sum(f0, axis=0)
+    return jnp.concatenate([h_base, h_joints])
+
+
+def solve_star(A, B, D, rhs_base, rhs_joints, eps: float = 1e-9):
+    """Solve [[A, B],[B^T, D]] [a0; qdd] = [rhs_base; rhs_joints] with D
+    block-diagonal per leg. All small dense ops; batches via vmap."""
+    eye3 = jnp.eye(3, dtype=A.dtype)
+    Dinv = jnp.linalg.inv(D + eps * eye3)               # (4,3,3)
+    rj = rhs_joints.reshape(4, 3)
+    BDinv = jnp.einsum("lab,lbc->lac", B, Dinv)          # (4,6,3)
+    S = A - jnp.einsum("lac,lbc->ab", BDinv, B)          # 6x6 Schur
+    t = rhs_base - jnp.einsum("lac,lc->a", BDinv, rj)
+    a0 = jnp.linalg.solve(S + eps * jnp.eye(6, dtype=A.dtype), t)
+    qdd = jnp.einsum("lab,lb->la", Dinv, rj - jnp.einsum("lba,b->la", B, a0))
+    return a0, qdd.reshape(12)
+
+
+# ---------------------------------------------------------------------------
+# Contact
+# ---------------------------------------------------------------------------
+
+def foot_state_world(model: Go1Model, state: RobotState, fk=None):
+    """World positions and velocities of the 4 foot centers."""
+    if fk is None:
+        fk = leg_fk_base(model, state.q)
+    R = sp.quat_to_mat(state.quat)
+    p_b = fk["foot"]                                      # (4,3) base coords
+    p_w = state.pos + p_b @ R.T
+    # v_foot_base-frame = v_b + w_b x p + J qd
+    w_b = R.T @ state.ang_vel
+    v_b = R.T @ state.lin_vel
+    qd = state.qd.reshape(4, 3)
+    # point Jacobian contribution: sum_i a_i x (p_f - o_i) qd_i
+    arm = p_b[:, None, :] - fk["o"]                       # (4,3joints,3)
+    Jqd = jnp.sum(jnp.cross(fk["axes"], arm) * qd[..., None], axis=1)
+    v_pt_b = v_b + jnp.cross(w_b, p_b) + Jqd
+    v_w = v_pt_b @ R.T
+    return p_w, v_w, fk
+
+
+def contact_forces(model: Go1Model, params: SimParams, p_w, v_w):
+    """Compliant normal + regularized Coulomb friction at each foot.
+
+    Returns (4,3) world forces and (4,) normal force magnitudes (the
+    feetNormalForces / feetInContactBool surface of GetContactInfo,
+    quadruped.py:224-258).
+    """
+    phi = model.foot_radius - p_w[:, 2]                   # penetration depth
+    in_contact = phi > 0.0
+    phidot = -v_w[:, 2]
+    fn = params.contact_stiffness * phi + params.contact_damping * phidot
+    fn = jnp.where(in_contact, jnp.maximum(fn, 0.0), 0.0)
+    vt = v_w[:, :2]
+    vt_norm = sp.safe_norm(vt, axis=-1)
+    # Coulomb cone, viscous-regularized below slip_vel_tol for stiction.
+    scale = params.friction * fn / jnp.maximum(vt_norm, params.slip_vel_tol)
+    ft = -scale[:, None] * vt
+    f_world = jnp.concatenate([ft, fn[:, None]], axis=-1)
+    return f_world, fn, in_contact
+
+
+def _generalized_contact_force(fk, s, R, f_world):
+    """Map world foot forces to generalized forces (base coords)."""
+    f_b = f_world @ R                                     # rotate world->base
+    p = fk["foot"]                                        # (4,3)
+    f_spatial = jnp.concatenate([jnp.cross(p, f_b), f_b], axis=-1)  # (4,6)
+    tau_joints = jnp.einsum("lja,la->lj", s, f_spatial).reshape(12)
+    f_base = jnp.sum(f_spatial, axis=0)
+    return f_base, tau_joints
+
+
+# ---------------------------------------------------------------------------
+# Step
+# ---------------------------------------------------------------------------
+
+def forward_dynamics(model: Go1Model, params: SimParams, state: RobotState,
+                     tau: jnp.ndarray, ext_force_world: jnp.ndarray | None = None):
+    """One evaluation of the equations of motion.
+
+    Args:
+      tau: (12,) joint torques (motor + spring, already combined).
+      ext_force_world: optional (3,) force applied at the trunk origin
+        (apply_external_force, quadruped.py:338-343).
+    Returns:
+      (a0(6), qdd(12), contact info dict)
+    """
+    R = sp.quat_to_mat(state.quat)
+    w_b = R.T @ state.ang_vel
+    v_b = R.T @ state.lin_vel
+    u = jnp.concatenate([w_b, v_b, state.qd])
+
+    A, B, D, fk, s = mass_matrix_blocks(model, state.q)
+    h = bias_forces(model, R, u, fk, s)
+
+    p_w, v_w, _ = foot_state_world(model, state, fk)
+    f_world, fn, in_contact = contact_forces(model, params, p_w, v_w)
+    f_base_c, tau_c = _generalized_contact_force(fk, s, R, f_world)
+
+    # joint-limit penalty torques (PyBullet enforces URDF limits)
+    over = jnp.maximum(state.q - REAL_UPPER, 0.0)
+    under = jnp.maximum(REAL_LOWER - state.q, 0.0)
+    tau_lim = (
+        -params.joint_limit_stiffness * over
+        + params.joint_limit_stiffness * under
+        - params.joint_limit_damping * state.qd * ((over > 0) | (under > 0))
+    )
+
+    rhs_base = -h[:6] + f_base_c
+    if ext_force_world is not None:
+        f_ext_b = R.T @ ext_force_world
+        rhs_base = rhs_base + jnp.concatenate([jnp.zeros(3, state.pos.dtype), f_ext_b])
+    rhs_joints = tau + tau_c + tau_lim - h[6:]
+    if params.on_rack:
+        # base welded in the air (on_rack debug mode, quadruped_gym_env.py:61):
+        # constrained dynamics with a0 ≡ 0 -> joints decouple per leg.
+        eye3 = jnp.eye(3, dtype=A.dtype)
+        a0 = jnp.zeros(6, dtype=A.dtype)
+        qdd = jnp.einsum(
+            "lab,lb->la", jnp.linalg.inv(D + 1e-9 * eye3),
+            rhs_joints.reshape(4, 3)).reshape(12)
+    else:
+        a0, qdd = solve_star(A, B, D, rhs_base, rhs_joints)
+    info = {
+        "foot_pos_world": p_w,
+        "foot_vel_world": v_w,
+        "foot_forces": fn,
+        "feet_in_contact": in_contact,
+        "contact_force_world": f_world,
+    }
+    return a0, qdd, info
+
+
+def step(model: Go1Model, params: SimParams, state: RobotState,
+         tau: jnp.ndarray, velocity_limits: jnp.ndarray,
+         ext_force_world: jnp.ndarray | None = None):
+    """Semi-implicit Euler step at params.dt (1 kHz default).
+
+    Mirrors the reference sim-step semantics: torques applied, then
+    pybullet.stepSimulation (quadruped_gym_env.py:218-221); joint velocity
+    clamped at the configured max (quadruped.py:678-683).
+    """
+    a0, qdd, info = forward_dynamics(model, params, state, tau, ext_force_world)
+    dt = params.dt
+    R = sp.quat_to_mat(state.quat)
+    w_b = R.T @ state.ang_vel + dt * a0[:3]
+    v_b = R.T @ state.lin_vel + dt * a0[3:]
+    qd = jnp.clip(state.qd + dt * qdd, -velocity_limits, velocity_limits)
+
+    if params.on_rack:
+        w_b = jnp.zeros_like(w_b)
+        v_b = jnp.zeros_like(v_b)
+
+    quat = sp.quat_integrate(state.quat, w_b, dt)
+    pos = state.pos + dt * (R @ v_b)
+    q = state.q + dt * qd
+    new_state = RobotState(
+        pos=pos,
+        quat=quat,
+        lin_vel=R @ v_b,
+        ang_vel=R @ w_b,
+        q=q,
+        qd=qd,
+    )
+    return new_state, info
+
+
+# ---------------------------------------------------------------------------
+# Diagnostics used by tests (energy / momentum audits)
+# ---------------------------------------------------------------------------
+
+def mass_matrix(model: Go1Model, q: jnp.ndarray) -> jnp.ndarray:
+    """Dense 18x18 M(q) (for tests/validation; the solver uses blocks)."""
+    A, B, D, _, _ = mass_matrix_blocks(model, q)
+    top = jnp.concatenate([A, jnp.concatenate(list(B), axis=-1).reshape(6, 12)], axis=-1)
+    Bt = jnp.swapaxes(B, 1, 2).reshape(12, 6)
+    Dfull = jax.scipy.linalg.block_diag(*[D[i] for i in range(4)])
+    bot = jnp.concatenate([Bt, Dfull], axis=-1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def kinetic_energy(model: Go1Model, state: RobotState) -> jnp.ndarray:
+    R = sp.quat_to_mat(state.quat)
+    u = jnp.concatenate([R.T @ state.ang_vel, R.T @ state.lin_vel, state.qd])
+    M = mass_matrix(model, state.q)
+    return 0.5 * u @ M @ u
+
+
+def potential_energy(model: Go1Model, state: RobotState) -> jnp.ndarray:
+    """-m g . com_world summed over bodies."""
+    fk = leg_fk_base(model, state.q)
+    R = sp.quat_to_mat(state.quat)
+    # trunk COM from its spatial inertia: I[0:3,3:6] = m c×  -> extract
+    mcx = model.trunk_inertia6[:3, 3:]
+    c_trunk = jnp.array([mcx[2, 1], mcx[0, 2], mcx[1, 0]]) / model.trunk_mass
+    coms_b = fk["o"] + jnp.einsum("ljab,ljb->lja", fk["R"], model.leg_coms)
+    coms_w = state.pos + coms_b @ R.T                      # (4,3,3)
+    trunk_w = state.pos + R @ c_trunk
+    pe = -model.trunk_mass * jnp.dot(model.gravity, trunk_w)
+    pe += -jnp.sum(model.leg_masses * (coms_w @ model.gravity))
+    return pe
+
+
+def inverse_dynamics(model: Go1Model, state: RobotState,
+                     a0: jnp.ndarray, qdd: jnp.ndarray) -> jnp.ndarray:
+    """Generalized forces for given accelerations (RNEA, full). Test oracle:
+    must satisfy ID(FD(tau)) == tau_gen."""
+    R = sp.quat_to_mat(state.quat)
+    u = jnp.concatenate([R.T @ state.ang_vel, R.T @ state.lin_vel, state.qd])
+    A, B, D, fk, s = mass_matrix_blocks(model, state.q)
+    h = bias_forces(model, R, u, fk, s)
+    M = mass_matrix(model, state.q)
+    return M @ jnp.concatenate([a0, qdd]) + h

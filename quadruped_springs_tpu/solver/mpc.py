@@ -1,0 +1,140 @@
+"""MPC problem assembly: Go1 control-rate dynamics + task costs + iLQR.
+
+Ties together the analytic dynamics (models/dynamics.py), the control
+interfaces (control/interfaces.py) and the task cost models
+(tasks/costs.py) into the batched trajectory-optimization engine that is
+this framework's flagship model (BASELINE.json: vmapped iLQR at H=50 over
+the 100 Hz control-rate dynamics, warm-started from CPG/demo references).
+
+State vector layout (n=37):
+  [pos(3), quat(4), lin_vel(3), ang_vel(3), q(12), qd(12)]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from quadruped_springs_tpu.control import interfaces as ci
+from quadruped_springs_tpu.env import randomizers as rnd
+from quadruped_springs_tpu.models import dynamics as dyn
+from quadruped_springs_tpu.models.go1_params import go1_config
+from quadruped_springs_tpu.ops import actuation as act
+from quadruped_springs_tpu.solver import ilqr
+from quadruped_springs_tpu.tasks import costs as task_costs
+
+N_STATE = 37
+
+
+def state_to_vec(s: dyn.RobotState) -> jnp.ndarray:
+    return jnp.concatenate([s.pos, s.quat, s.lin_vel, s.ang_vel, s.q, s.qd])
+
+
+def vec_to_state(x: jnp.ndarray) -> dyn.RobotState:
+    return dyn.RobotState(
+        pos=x[0:3], quat=x[3:7], lin_vel=x[7:10], ang_vel=x[10:13],
+        q=x[13:25], qd=x[25:37])
+
+
+@dataclasses.dataclass(frozen=True)
+class MPCConfig:
+    task: str = "JUMPING_IN_PLACE"
+    enable_springs: bool = True
+    motor_control_mode: str = "PD"
+    action_space_mode: str = "SYMMETRIC"
+    horizon: int = 50
+    action_repeat: int = 10       # 1 kHz substeps per 100 Hz knot
+    time_step: float = 0.001
+    iterations: int = 10
+    n_alphas: int = 8
+    # Planning uses a relaxed contact model: the evaluation stiffness
+    # (30 kN/m) makes the control-step Jacobians so stiff that the Riccati
+    # recursion overflows f32. Softer contact for the *planner* is standard
+    # practice (gradients stay informative; execution still uses the stiff
+    # simulator).
+    contact_stiffness: float = 4000.0
+    contact_damping: float = 200.0
+
+
+class MPCProblem:
+    """Static problem definition; exposes pure dynamics/cost/solve fns."""
+
+    def __init__(self, config: MPCConfig = MPCConfig()):
+        self.config = config
+        self.cfg = go1_config(config.enable_springs)
+        self.iface = ci.make_interface(
+            self.cfg, config.motor_control_mode, config.action_space_mode,
+            config.task)
+        self.action_dim = self.iface.action_dim
+        self.sim_params = dyn.default_sim_params(config.time_step).replace(
+            contact_stiffness=jnp.asarray(config.contact_stiffness),
+            contact_damping=jnp.asarray(config.contact_damping))
+        self.stage_cost, self.terminal_cost = task_costs.make_cost(
+            config.task, self.cfg, self.action_dim, config.horizon)
+        self.ilqr_config = ilqr.ILQRConfig(
+            horizon=config.horizon, iterations=config.iterations,
+            n_alphas=config.n_alphas)
+
+    # -- dynamics: one 100 Hz control knot = action_repeat 1 kHz substeps --
+    def dynamics(self, x: jnp.ndarray, u: jnp.ndarray,
+                 scenario: rnd.ScenarioParams | None = None) -> jnp.ndarray:
+        cfg = self.cfg
+        scenario = rnd.nominal_params(cfg) if scenario is None else scenario
+        model = rnd.model_from_params(scenario)
+        params = self.sim_params.replace(friction=scenario.friction)
+        q_des = ci.action_to_command(self.iface, u)
+
+        def substep(s, _):
+            tau_m = act.pd_torque(q_des, s.q, s.qd, cfg.motor_kp, cfg.motor_kd,
+                                  cfg.torque_limits)
+            if cfg.enable_springs:
+                tau_m = tau_m + act.spring_torque(
+                    s.q, s.qd, scenario.spring_stiffness,
+                    scenario.spring_damping, cfg.spring_rest_angles)
+            s2, _ = dyn.step(model, params, s, tau_m, cfg.velocity_limits)
+            return s2, None
+
+        s, _ = jax.lax.scan(substep, vec_to_state(x), None,
+                            length=self.config.action_repeat)
+        return state_to_vec(s)
+
+    # -- solve ------------------------------------------------------------
+    @partial(jax.jit, static_argnums=0)
+    def solve(self, x0: jnp.ndarray, u_init: jnp.ndarray,
+              scenario: rnd.ScenarioParams | None = None) -> ilqr.ILQRSolution:
+        dyn_fn = lambda x, u: self.dynamics(x, u, scenario)
+        return ilqr.solve(dyn_fn, self.stage_cost, self.terminal_cost,
+                          x0, u_init, self.ilqr_config)
+
+    @partial(jax.jit, static_argnums=0)
+    def solve_batch(self, x0s: jnp.ndarray, u_inits: jnp.ndarray,
+                    scenarios: rnd.ScenarioParams | None = None):
+        """vmapped scenario-batched solve: the 'VecEnv' of this framework."""
+        if scenarios is None:
+            return jax.vmap(lambda x, u: self.solve(x, u))(x0s, u_inits)
+        return jax.vmap(self.solve)(x0s, u_inits, scenarios)
+
+    # -- receding-horizon step (continuous jumping MPC) --------------------
+    @partial(jax.jit, static_argnums=0)
+    def mpc_step(self, x0: jnp.ndarray, u_warm: jnp.ndarray,
+                 scenario: rnd.ScenarioParams | None = None):
+        """Solve, apply the first control, shift the plan (warm start)."""
+        sol = self.solve(x0, u_warm, scenario)
+        x1 = self.dynamics(x0, sol.us[0], scenario)
+        u_next = jnp.concatenate([sol.us[1:], sol.us[-1:]], axis=0)
+        return x1, sol.us[0], u_next, sol.cost
+
+    # -- convenience -------------------------------------------------------
+    def default_x0(self) -> jnp.ndarray:
+        return state_to_vec(dyn.RobotState(
+            pos=self.cfg.init_position,
+            quat=jnp.array([0.0, 0.0, 0.0, 1.0]),
+            lin_vel=jnp.zeros(3), ang_vel=jnp.zeros(3),
+            q=self.cfg.init_joint_angles, qd=jnp.zeros(12)))
+
+    def default_warm_start(self) -> jnp.ndarray:
+        a0 = ci.command_to_action(self.iface, self.iface.init_pose)
+        return jnp.broadcast_to(a0, (self.config.horizon, self.action_dim))

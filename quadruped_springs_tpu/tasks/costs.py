@@ -1,0 +1,165 @@
+"""MPC cost models — the task rewards of §2.4 recast as smooth costs.
+
+Each reference task's reward surface (robot_tasks.py) is converted into a
+(stage_cost(x, u, t), terminal_cost(x)) pair consumable by the iLQR solver.
+Sparse terminal rewards (e.g. JumpingInPlace's max-height bonus,
+robot_tasks.py:31-57) become smooth terminal costs using the ballistic apex
+predictor  h_apex = z + vz²/(2g)  — differentiable, and exact for the
+flight phase the reward actually measures.
+
+State layout must match solver/mpc.py: [pos(3), quat(4), v(3), w(3),
+q(12), qd(12)].
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from quadruped_springs_tpu.models import spatial as sp
+from quadruped_springs_tpu.models.go1_params import Go1Config
+
+_G = 9.81
+
+
+def _pos(x):
+    return x[0:3]
+
+
+def _quat(x):
+    return x[3:7]
+
+
+def _vel(x):
+    return x[7:10]
+
+
+def _omega(x):
+    return x[10:13]
+
+
+def _q(x):
+    return x[13:25]
+
+
+def _qd(x):
+    return x[25:37]
+
+
+def _apex_height(x):
+    """Predicted ballistic apex: z + max(vz,0)²/2g (smooth in vz>0)."""
+    vz = _vel(x)[2]
+    return _pos(x)[2] + jnp.maximum(vz, 0.0) ** 2 / (2 * _G)
+
+
+def _pitch(x):
+    return sp.quat_to_rpy(_quat(x))[1]
+
+
+def _upright(x):
+    """1 - local_up·ẑ  (0 when upright, 2 when inverted)."""
+    return 1.0 - sp.quat_to_mat(_quat(x))[2, 2]
+
+
+def _posture(cfg: Go1Config, x):
+    return jnp.sum((_q(x) - cfg.init_joint_angles) ** 2)
+
+
+def make_cost(task: str, cfg: Go1Config, action_dim: int, horizon: int):
+    """Return (stage_cost, terminal_cost) for a task key.
+
+    Supported MPC tasks (the four headline configs of BASELINE.json):
+      JUMPING_IN_PLACE(-_PPO/_PPO_HP): maximize apex height, stay at x=0,
+        keep pitch flat (robot_tasks.py:31-57 / 250-358).
+      JUMPING_FORWARD(-_PPO/...): apex height + forward distance
+        (robot_tasks.py:70-99 / 361-485).
+      CONTINUOUS_JUMPING_FORWARD*(_PPO): receding-horizon forward-hopping
+        (robot_tasks.py:553-698).
+      BACKFLIP(_PPO): full 2π pitch rotation at ≥0.7 m apex
+        (robot_tasks.py:518-550).
+      NO_TASK: pure regulation to the init pose.
+    """
+    w_u = 1e-2          # control smoothness / magnitude
+    w_qd = 2e-4         # joint-velocity damping
+
+    def base_stage(x, u, t):
+        return w_u * jnp.sum(u * u) + w_qd * jnp.sum(_qd(x) ** 2)
+
+    if task.startswith("JUMPING_IN_PLACE") or task in ("JIP_PPO",):
+        w_h, w_x, w_pitch, w_up = 60.0, 8.0, 4.0, 10.0
+
+        def stage(x, u, t):
+            return (base_stage(x, u, t)
+                    + 0.15 * w_x * _pos(x)[0] ** 2
+                    + 0.15 * w_pitch * _pitch(x) ** 2)
+
+        def terminal(x):
+            return (-w_h * _apex_height(x)
+                    + w_x * _pos(x)[0] ** 2
+                    + w_pitch * _pitch(x) ** 2
+                    + w_up * _upright(x))
+
+        return stage, terminal
+
+    if task.startswith("JUMPING_FORWARD") or task in ("JF_PPO",):
+        w_h, w_fwd, w_pitch, w_up = 40.0, 30.0, 4.0, 10.0
+
+        def stage(x, u, t):
+            return (base_stage(x, u, t)
+                    + 0.15 * w_pitch * _pitch(x) ** 2
+                    + 2.0 * _pos(x)[1] ** 2)
+
+        def terminal(x):
+            vx = _vel(x)[0]
+            vz = _vel(x)[2]
+            # ballistic forward range from the terminal state
+            fwd = _pos(x)[0] + vx * 2 * jnp.maximum(vz, 0.0) / _G
+            return (-w_h * _apex_height(x) - w_fwd * fwd
+                    + w_pitch * _pitch(x) ** 2 + w_up * _upright(x))
+
+        return stage, terminal
+
+    if task.startswith("CONTINUOUS_JUMPING_FORWARD"):
+        w_v, w_h, w_pitch, w_y = 12.0, 20.0, 3.0, 4.0
+        z_ref = 0.42  # hop apex target band (min/max height 0.35-0.5)
+
+        def stage(x, u, t):
+            return (base_stage(x, u, t)
+                    - w_v * _vel(x)[0]
+                    + w_pitch * _pitch(x) ** 2
+                    + w_y * (_pos(x)[1] ** 2 + _vel(x)[1] ** 2))
+
+        def terminal(x):
+            return (w_h * (_apex_height(x) - z_ref) ** 2
+                    - w_v * 5.0 * _vel(x)[0]
+                    + w_pitch * _pitch(x) ** 2)
+
+        return stage, terminal
+
+    if task.startswith("BACKFLIP"):
+        w_h, w_rot, w_x = 30.0, 25.0, 4.0
+        target_apex = 0.7   # robot_tasks.py:521
+
+        def stage(x, u, t):
+            # reward pitch-back angular velocity while airborne-ish
+            wy = sp.quat_rotate_inv(_quat(x), _omega(x))[1]
+            return base_stage(x, u, t) - 0.2 * w_rot * (-wy)
+
+        def terminal(x):
+            # flight-phase rotation budget: ω_y · 2 vz / g ≈ total pitch swept
+            wy = sp.quat_rotate_inv(_quat(x), _omega(x))[1]
+            vz = jnp.maximum(_vel(x)[2], 0.0)
+            swept = -wy * 2.0 * vz / _G
+            return (w_h * (_apex_height(x) - target_apex) ** 2
+                    - w_rot * swept
+                    + w_x * _pos(x)[0] ** 2)
+
+        return stage, terminal
+
+    # NO_TASK / fallback: regulation to the init pose
+    def stage(x, u, t):
+        return base_stage(x, u, t) + 0.5 * _posture(cfg, x)
+
+    def terminal(x):
+        return 5.0 * _posture(cfg, x) + 20.0 * (_pos(x)[2] - 0.3) ** 2
+
+    return stage, terminal

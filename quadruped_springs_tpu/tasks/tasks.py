@@ -1,0 +1,658 @@
+"""Tasks (reward / termination) as pure functions over rollout state.
+
+TPU-native re-design of env/tasks/{task_base.py,robot_tasks.py,
+task_collection.py}: every task is a (static TaskDef, TaskState pytree,
+pure update/reward fns) triple, branch-free and jit/vmap/scan-safe. These
+same stage/terminal terms double as the MPC cost models in tasks/costs.py.
+
+Registry keys match task_collection.py exactly:
+  NO_TASK, JUMPING_IN_PLACE, JUMPING_FORWARD,
+  JUMPING_IN_PLACE_PPO(_HP), JUMPING_FORWARD_PPO(_HP),
+  BACKFLIP, BACKFLIP_PPO,
+  CONTINUOUS_JUMPING_FORWARD(2,3), CONTINUOUS_JUMPING_FORWARD_PPO,
+  *_DEMO (JUMPING_IN_PLACE / JUMPING_FORWARD / BACKFLIP / CONTINUOUS_...).
+
+Machinery reproduced from TaskJumping (task_base.py:34-166):
+  flight detection (all feet off ground), take-off controller-switch when
+  flying & vz/9.81 > 0.06 s, max height/pitch/Δx tracking, yaw-aligned
+  forward distance, fallen = (local-up·z < 0.85) ∧ (height < IS_FALLEN),
+  invalid-contact termination.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from quadruped_springs_tpu.models import spatial as sp
+
+MAX_JUMPS = 32  # fixed-size buffers for continuous-jumping statistics
+_G = 9.81       # take-off detector constant (task_base.py:160)
+
+
+# ---------------------------------------------------------------------------
+# Step context: what tasks read each control step
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class TaskCtx:
+    pos: jnp.ndarray                # (3,) base position world
+    lin_vel: jnp.ndarray            # (3,)
+    rpy: jnp.ndarray                # (3,) roll-pitch-yaw
+    quat: jnp.ndarray               # (4,)
+    q: jnp.ndarray                  # (12,)
+    qd: jnp.ndarray                 # (12,)
+    motor_torques: jnp.ndarray      # (12,) observed (PD-clipped) torques
+    feet_in_contact: jnp.ndarray    # (4,) bool
+    feet_forces: jnp.ndarray        # (4,) normal force magnitudes
+    invalid_contact: jnp.ndarray    # () bool
+    sim_time: jnp.ndarray           # () seconds
+    is_flying: jnp.ndarray          # () bool (all feet off the ground)
+    last_action: jnp.ndarray        # (action_dim,)
+    is_fallen_height: float = struct.field(pytree_node=False, default=0.10)
+
+
+# ---------------------------------------------------------------------------
+# Task state (superset across tasks; unused fields stay at defaults)
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class TaskState:
+    switched_controller: jnp.ndarray   # () bool
+    all_feet_in_air: jnp.ndarray       # () bool
+    time_take_off: jnp.ndarray         # ()
+    pose_take_off: jnp.ndarray         # (3,)
+    yaw_take_off: jnp.ndarray          # ()
+    init_height: jnp.ndarray           # ()
+    max_flight_time: jnp.ndarray       # ()
+    max_forward_distance: jnp.ndarray  # ()
+    max_pitch: jnp.ndarray             # () |rpy pitch| tracker
+    relative_max_height: jnp.ndarray   # ()
+    max_delta_x: jnp.ndarray           # ()
+    max_height: jnp.ndarray            # () max |z|
+    old_torque: jnp.ndarray            # (12,)
+    new_torque: jnp.ndarray            # (12,)
+    # backflip
+    max_pitch_bf: jnp.ndarray          # () unwrapped-pitch tracker
+    # JumpingForwardPPO
+    old_fwd: jnp.ndarray               # ()
+    actual_fwd: jnp.ndarray            # ()
+    # continuous jumping (v1)
+    cumulative_fwd: jnp.ndarray        # ()
+    cumulative_flight_time: jnp.ndarray
+    is_jumping: jnp.ndarray            # () bool
+    # continuous jumping (v2 / PPO): per-jump stats, fixed buffers
+    fwd_array: jnp.ndarray             # (MAX_JUMPS,)
+    height_array: jnp.ndarray          # (MAX_JUMPS,)
+    performance_array: jnp.ndarray     # (MAX_JUMPS,)
+    jump_counter: jnp.ndarray          # () int32
+    good_jump_counter: jnp.ndarray     # () int32
+    max_jump_height: jnp.ndarray       # ()
+    first_jump: jnp.ndarray            # () bool
+    end_jump: jnp.ndarray              # () bool
+    # demo tasks
+    demo_counter: jnp.ndarray          # () int32
+
+
+def init_task_state(ctx: TaskCtx) -> TaskState:
+    f = jnp.float32
+    z = jnp.zeros
+    return TaskState(
+        switched_controller=jnp.asarray(False),
+        all_feet_in_air=jnp.asarray(False),
+        time_take_off=ctx.sim_time.astype(f),
+        pose_take_off=ctx.pos,
+        yaw_take_off=ctx.rpy[2],
+        init_height=ctx.pos[2],
+        max_flight_time=jnp.asarray(0.0, f),
+        max_forward_distance=jnp.asarray(0.0, f),
+        max_pitch=jnp.asarray(0.0, f),
+        relative_max_height=jnp.asarray(0.0, f),
+        max_delta_x=jnp.asarray(0.0, f),
+        max_height=jnp.asarray(0.0, f),
+        old_torque=ctx.motor_torques,
+        new_torque=ctx.motor_torques,
+        max_pitch_bf=jnp.asarray(0.0, f),
+        old_fwd=jnp.asarray(0.0, f),
+        actual_fwd=jnp.asarray(0.0, f),
+        cumulative_fwd=jnp.asarray(0.0, f),
+        cumulative_flight_time=jnp.asarray(0.0, f),
+        is_jumping=jnp.asarray(False),
+        fwd_array=z(MAX_JUMPS, f),
+        height_array=z(MAX_JUMPS, f),
+        performance_array=z(MAX_JUMPS, f),
+        jump_counter=jnp.asarray(0, jnp.int32),
+        good_jump_counter=jnp.asarray(0, jnp.int32),
+        max_jump_height=jnp.asarray(0.0, f),
+        first_jump=jnp.asarray(True),
+        end_jump=jnp.asarray(False),
+        demo_counter=jnp.asarray(0, jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared machinery (task_base.py:61-166), branch-free
+# ---------------------------------------------------------------------------
+
+def _time_to_peak(ctx: TaskCtx):
+    return ctx.lin_vel[2] / _G
+
+
+def jumping_distance(ts: TaskState, ctx: TaskCtx):
+    """Yaw-aligned forward distance since take-off (task_base.py:109-116)."""
+    yaw = ts.yaw_take_off
+    d = ctx.pos - ts.pose_take_off
+    fwd = jnp.cos(yaw) * d[0] + jnp.sin(yaw) * d[1]
+    return jnp.maximum(fwd, 0.0)
+
+
+def _update_common(ts: TaskState, ctx: TaskCtx, continuous: bool,
+                   track_fwd_in_flight: bool = True) -> TaskState:
+    """The TaskJumping._on_step bookkeeping as one branch-free update."""
+    # take-off controller switch (task_base.py:152-160)
+    switch = ts.switched_controller | (ctx.is_flying & (_time_to_peak(ctx) > 0.06))
+    # torque trackers
+    old_t, new_t = ts.new_torque, ctx.motor_torques
+    # pose trackers (task_base.py:77-90)
+    delta_h = jnp.maximum(ctx.pos[2] - ts.init_height, 0.0)
+    rel_max_h = jnp.maximum(ts.relative_max_height, delta_h)
+    max_h = jnp.maximum(ts.max_height, jnp.abs(ctx.pos[2]))
+    max_dx = jnp.maximum(ts.max_delta_x, jnp.abs(ctx.pos[0]))
+    max_pitch = jnp.maximum(ts.max_pitch, jnp.abs(ctx.rpy[1]))
+
+    # jumping info (task_base.py:92-107): phase transitions
+    entering_flight = ctx.is_flying & ~ts.all_feet_in_air
+    in_flight = ctx.is_flying & ts.all_feet_in_air
+    landing = ~ctx.is_flying & ts.all_feet_in_air
+    grounded = ~ctx.is_flying & ~ts.all_feet_in_air
+
+    time_take_off = jnp.where(entering_flight, ctx.sim_time, ts.time_take_off)
+    pose_take_off = jnp.where(entering_flight, ctx.pos, ts.pose_take_off)
+    yaw_take_off = jnp.where(entering_flight, ctx.rpy[2], ts.yaw_take_off)
+
+    # forward distance: updated during flight and at landing; reset to 0 when
+    # grounded (non-continuous semantics, task_base.py:107)
+    ts_mid = ts.replace(pose_take_off=pose_take_off, yaw_take_off=yaw_take_off)
+    jd = jumping_distance(ts_mid, ctx)
+    fwd = ts.max_forward_distance
+    if track_fwd_in_flight:
+        fwd = jnp.where(in_flight | landing, jnp.maximum(fwd, jd), fwd)
+    else:
+        fwd = jnp.where(landing, jnp.maximum(fwd, jd), fwd)
+    if not continuous:
+        fwd = jnp.where(grounded, 0.0, fwd)
+
+    flight_time = jnp.where(
+        landing,
+        jnp.maximum(ctx.sim_time - time_take_off, ts.max_flight_time),
+        ts.max_flight_time,
+    )
+    all_feet_in_air = ctx.is_flying
+
+    return ts.replace(
+        switched_controller=switch,
+        all_feet_in_air=all_feet_in_air,
+        time_take_off=time_take_off,
+        pose_take_off=pose_take_off,
+        yaw_take_off=yaw_take_off,
+        max_flight_time=flight_time,
+        max_forward_distance=fwd,
+        max_pitch=max_pitch,
+        relative_max_height=rel_max_h,
+        max_delta_x=max_dx,
+        max_height=max_h,
+        old_torque=old_t,
+        new_torque=new_t,
+    )
+
+
+def is_fallen(ctx: TaskCtx):
+    """fallen = local-up tilted past 0.85 AND below the fallen height
+    (task_base.py:123-135)."""
+    local_up_z = sp.quat_to_mat(ctx.quat)[2, 2]
+    return (local_up_z < 0.85) & (ctx.pos[2] < ctx.is_fallen_height)
+
+
+def default_terminated(ts: TaskState, ctx: TaskCtx):
+    return is_fallen(ctx) | ctx.invalid_contact
+
+
+def _norm(v):
+    return jnp.sqrt(jnp.maximum(jnp.sum(v * v), 1e-12))
+
+
+# ---------------------------------------------------------------------------
+# Task definitions
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class TaskDef:
+    """Static task definition; `kind` selects the update/reward family."""
+    name: str
+    kind: str                       # 'sparse' | 'ppo' | 'continuous' | ...
+    continuous: bool = False
+    # sparse-task parameters
+    max_height_task: float = 0.9
+    max_forward_distance_task: float = 1.3
+    # ppo dense-task parameters (robot_tasks.py:258-279 etc.)
+    min_height: float = 0.29
+    max_height: float = 1.0
+    max_contact_force: float = 800.0
+    k_h: float = 0.023
+    k_tau: float = 0.015
+    k_tau_sigma: float = 0.1
+    k_contact: float = 3e-4
+    k_pos: float = 0.013
+    k_pos_sigma: float = 40.0
+    k_pitch: float = 0.014
+    k_pitch_sigma: float = 26.0
+    k_fwd: float = 0.038
+    max_fwd: float = 1.3
+    k_energy: float = 0.0035
+    k_energy_sigma: float = 0.01
+    # continuous-task parameters
+    jump_limit: float = 0.5
+    time_limit: float = 1.0
+    height_limit: float = 0.5
+    fwd_weight: float = 0.7
+    height_weight: float = 0.3
+    performance_bound: float = 0.85
+    # backflip
+    bf_max_height: float = 0.7
+    bf_min_height: float = 0.3
+    # env episode length (for time-fraction reward terms)
+    max_ep_len: float = 10.0
+    # curriculum hook (JIP_PPO_HP.change_parameters, robot_tasks.py:497-499)
+    max_height_randomized: float = 0.0
+    max_fwd_randomized: float = 0.0
+
+
+def task_on_step(td: TaskDef, ts: TaskState, ctx: TaskCtx) -> TaskState:
+    if td.kind == "no_task":
+        return ts
+    if td.kind in ("continuous", "continuous_ppo", "continuous_demo"):
+        if td.kind == "continuous" and td.name != "CONTINUOUS_JUMPING_FORWARD3":
+            return _on_step_continuous_v1(td, ts, ctx)
+        return _on_step_continuous_v2(td, ts, ctx)
+    ts = _update_common(ts, ctx, continuous=False)
+    if td.kind in ("backflip", "backflip_ppo"):
+        pitch_bf = sp.pitch_unwrapped_yxz(ctx.quat, ts.switched_controller)
+        ts = ts.replace(max_pitch_bf=jnp.maximum(ts.max_pitch_bf, pitch_bf))
+    if td.name.startswith("JUMPING_FORWARD_PPO"):
+        ts = ts.replace(old_fwd=ts.actual_fwd, actual_fwd=ts.max_forward_distance)
+    if td.kind == "demo":
+        ts = ts.replace(demo_counter=ts.demo_counter + 1)
+    return ts
+
+
+def _on_step_continuous_v1(td: TaskDef, ts: TaskState, ctx: TaskCtx) -> TaskState:
+    """TaskContinuousJumping._compute_jumping_info (task_base.py:243-277)."""
+    ts2 = _update_common(ts, ctx, continuous=True, track_fwd_in_flight=False)
+    entering = ctx.is_flying & ~ts.all_feet_in_air
+    landing = ~ctx.is_flying & ts.all_feet_in_air
+    is_jumping = jnp.where(
+        entering, _time_to_peak(ctx) > 0.06,
+        jnp.where(landing, False, ts.is_jumping),
+    )
+    # NB the reference accumulates the *running max* fwd/flight-time, not the
+    # per-jump values (task_base.py:263-265) — reproduced faithfully.
+    cum_fwd = jnp.where(
+        landing,
+        ts.cumulative_fwd + jnp.minimum(ts2.max_forward_distance, td.jump_limit),
+        ts.cumulative_fwd,
+    )
+    cum_ft = jnp.where(
+        landing,
+        ts.cumulative_flight_time + jnp.minimum(ts2.max_flight_time, td.time_limit),
+        ts.cumulative_flight_time,
+    )
+    return ts2.replace(
+        is_jumping=is_jumping, cumulative_fwd=cum_fwd, cumulative_flight_time=cum_ft
+    )
+
+
+def _on_step_continuous_v2(td: TaskDef, ts: TaskState, ctx: TaskCtx) -> TaskState:
+    """TaskContinuousJumping2 (task_base.py:322-355): per-jump stat arrays."""
+    ts2 = _update_common(ts, ctx, continuous=True)
+    entering = ctx.is_flying & ~ts.all_feet_in_air
+    in_flight = ctx.is_flying & ts.all_feet_in_air
+    landing = ~ctx.is_flying & ts.all_feet_in_air
+
+    max_jh = jnp.where(
+        entering, ctx.pos[2],
+        jnp.where(in_flight, jnp.maximum(ts.max_jump_height, ctx.pos[2]),
+                  ts.max_jump_height),
+    )
+    is_jumping = jnp.where(
+        entering, _time_to_peak(ctx) > 0.06, jnp.where(landing, False, ts.is_jumping)
+    )
+    # end-of-jump stats (ignore the very first landing, task_base.py:342-355)
+    record = landing & ~ts.first_jump
+    jd = jnp.minimum(jumping_distance(ts2, ctx), td.jump_limit)
+    jh = jnp.minimum(max_jh, td.height_limit)
+    perf = td.fwd_weight * jd / td.jump_limit + td.height_weight * jh / td.height_limit
+    idx = jnp.minimum(ts.jump_counter, MAX_JUMPS - 1)
+    fwd_array = jnp.where(record, ts.fwd_array.at[idx].set(jd), ts.fwd_array)
+    height_array = jnp.where(record, ts.height_array.at[idx].set(jh), ts.height_array)
+    perf_array = jnp.where(
+        record, ts.performance_array.at[idx].set(perf), ts.performance_array
+    )
+    jump_counter = ts.jump_counter + record.astype(jnp.int32)
+    good = ts.good_jump_counter + (record & (perf >= td.performance_bound)).astype(jnp.int32)
+    first_jump = ts.first_jump & ~landing
+    new = ts2.replace(
+        is_jumping=is_jumping,
+        max_jump_height=max_jh,
+        fwd_array=fwd_array,
+        height_array=height_array,
+        performance_array=perf_array,
+        jump_counter=jump_counter,
+        good_jump_counter=good,
+        first_jump=first_jump,
+        end_jump=record,
+    )
+    if td.kind == "continuous_demo":
+        new = new.replace(demo_counter=ts.demo_counter + 1)
+    return new
+
+
+# ---------------------------------------------------------------------------
+# Dense (per-step) rewards
+# ---------------------------------------------------------------------------
+
+def _clipped_height(td: TaskDef, ctx: TaskCtx):
+    h = ctx.pos[2]
+    ok = (h >= td.min_height) & (h <= td.max_height)
+    return jnp.where(ok, h, 0.0)
+
+
+def _over_contact_force(td: TaskDef, ctx: TaskCtx, excess_only: bool):
+    f = jnp.sum(ctx.feet_forces)
+    over = f > td.max_contact_force
+    val = jnp.where(excess_only, f - td.max_contact_force, f)
+    return jnp.where(over, val, 0.0)
+
+
+def _rew_smoothing(td: TaskDef, ts: TaskState):
+    dtau = _norm(ts.old_torque - ts.new_torque)
+    return td.k_tau * jnp.exp(-td.k_tau_sigma * dtau)
+
+
+def task_reward(td: TaskDef, ts: TaskState, ctx: TaskCtx,
+                demo_actions: jnp.ndarray | None = None,
+                demo_len: int | None = None) -> jnp.ndarray:
+    """Per-step reward (TaskBase._reward). Sparse tasks return 0."""
+    k = td.kind
+    if k in ("no_task", "sparse", "continuous", "backflip"):
+        return jnp.asarray(0.0, jnp.float32)
+
+    if k in ("demo", "continuous_demo"):
+        # imitation: exp(-0.35 ||a_demo - a||) / delta_demo (task_base.py:195-211)
+        idx = jnp.minimum(ts.demo_counter, demo_actions.shape[0] - 1)
+        a_demo = demo_actions[idx]
+        r = jnp.exp(-0.35 * _norm(a_demo - ctx.last_action))
+        return r / jnp.float32(demo_len)
+
+    rew_h = td.k_h * _clipped_height(td, ctx)
+    rew_smooth = _rew_smoothing(td, ts)
+    rew_pitch = td.k_pitch * jnp.exp(-td.k_pitch_sigma * jnp.abs(ctx.rpy[1]))
+
+    if k == "ppo_in_place":
+        rew_contact = -td.k_contact * _over_contact_force(td, ctx, excess_only=False)
+        rew_pos = td.k_pos * jnp.exp(-td.k_pos_sigma * jnp.abs(ctx.pos[0]))
+        return (0.05 * rew_pos + 0.5 * rew_contact + 0.2 * rew_smooth
+                + 0.45 * rew_h + 0.3 * rew_pitch)
+
+    if k == "ppo_forward":
+        rew_contact = -td.k_contact * _over_contact_force(td, ctx, excess_only=False)
+        fwd = ts.actual_fwd
+        fwd_ok = (fwd <= td.max_fwd) & (fwd != ts.old_fwd)
+        rew_fwd = td.k_fwd * jnp.where(fwd_ok, fwd, 0.0)
+        return (0.4 * rew_contact + 0.2 * rew_smooth + 0.25 * rew_h
+                + 0.3 * rew_pitch + 0.4 * rew_fwd)
+
+    if k == "backflip_ppo":
+        rew_contact = -td.k_contact * _over_contact_force(td, ctx, excess_only=False)
+        pitch_bf = sp.pitch_unwrapped_yxz(ctx.quat, ts.switched_controller)
+        rew_pitch_bf = td.k_pitch * jnp.where(ctx.pos[2] > 0.5, pitch_bf, 0.0)
+        return 0.4 * rew_contact + 0.2 * rew_smooth + 0.25 * rew_h + 0.3 * rew_pitch_bf
+
+    if k == "continuous_ppo":
+        rew_contact = -td.k_contact * _over_contact_force(td, ctx, excess_only=True)
+        rew_pitch_c = rew_pitch * jnp.where(ts.is_jumping, 1.5, 1.0)
+        actual_fwd = jnp.where(ts.is_jumping, jumping_distance(ts, ctx), 0.0)
+        rew_fwd = td.k_fwd * actual_fwd
+        energy = _norm(ctx.motor_torques * ctx.qd)
+        rew_energy = td.k_energy * jnp.exp(-td.k_energy_sigma * energy)
+        rew_end = _rew_end_jump(td, ts)
+        return (0.5 * rew_contact + 0.2 * rew_smooth + 0.3 * rew_h
+                + 0.2 * rew_pitch_c + 0.75 * rew_fwd + 0.1 * rew_energy
+                + 0.2 * rew_end) * 0.8
+
+    raise ValueError(f"unknown task kind {k}")
+
+
+def _entropy_fwd(ts: TaskState):
+    """Entropy of the per-jump forward distances (task_base.py:376-383),
+    padded to at least 3 slots."""
+    n = jnp.maximum(ts.jump_counter, 3)
+    mask = jnp.arange(MAX_JUMPS) < ts.jump_counter
+    fwd = jnp.where(mask, ts.fwd_array, 0.0)
+    total = jnp.sum(fwd)
+    p = fwd / jnp.maximum(total, 1e-12)
+    logp = jnp.where(p > 0, jnp.log2(jnp.maximum(p, 1e-12)), 0.0)
+    ent = -jnp.sum(p * logp) / jnp.log2(n.astype(jnp.float32))
+    valid = (ts.jump_counter > 0) & (total >= 0.05)
+    return jnp.where(valid, ent, 0.0)
+
+
+def _avg_performance(ts: TaskState):
+    """Average over recorded jumps, zero-padded to >= 3 (task_base.py:394-400)."""
+    n = jnp.maximum(ts.jump_counter, 3).astype(jnp.float32)
+    mask = jnp.arange(MAX_JUMPS) < ts.jump_counter
+    return jnp.sum(jnp.where(mask, ts.performance_array, 0.0)) / n
+
+
+def _max_performance(ts: TaskState):
+    mask = jnp.arange(MAX_JUMPS) < ts.jump_counter
+    return jnp.max(jnp.where(mask, ts.performance_array, 0.0))
+
+
+def _rew_end_jump(td: TaskDef, ts: TaskState):
+    """ContinuousJumpingForwardPPO._reward_end_jump (robot_tasks.py:653-665)."""
+    ent = _entropy_fwd(ts)
+    rew_entropy = jnp.exp((ent - 1.0) / 0.3)
+    idx = jnp.maximum(ts.jump_counter - 1, 0)
+    last_perf = ts.performance_array[idx]
+    active = (~ts.first_jump) & ts.end_jump & (last_perf > 0.8)
+    rew = (last_perf * rew_entropy * 0.35 + last_perf * 0.65) * 0.2
+    return jnp.where(active, rew, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# End-of-episode rewards (TaskBase._reward_end_episode)
+# ---------------------------------------------------------------------------
+
+def task_reward_end(td: TaskDef, ts: TaskState, ctx: TaskCtx) -> jnp.ndarray:
+    k = td.kind
+    terminated = task_terminated(td, ts, ctx)
+
+    if k in ("no_task", "demo", "continuous_demo"):
+        return jnp.asarray(0.0, jnp.float32)
+
+    if td.name == "JUMPING_IN_PLACE":
+        h = jnp.clip(ts.relative_max_height / td.max_height_task, 0.0, 1.0)
+        r = 0.7 * h
+        r += h * 0.3 * jnp.exp(-ts.max_pitch**2 / 0.15**2)
+        r += h * 0.05 * jnp.exp(-ts.max_delta_x**2 / 0.05)
+        r += jnp.where(terminated, -0.08 * (1 + 0.8 * h), 0.1 * h)
+        return r
+
+    if td.name == "JUMPING_FORWARD":
+        h = jnp.clip(ts.relative_max_height / td.max_height_task, 0.0, 1.0)
+        f = jnp.clip(ts.max_forward_distance / td.max_forward_distance_task, 0.0, 1.0)
+        bm = (h + f) / 2
+        r = 0.25 * h + 0.5 * f * h
+        r += h * 0.25 * jnp.exp(-ts.max_pitch**2 / 0.15**2)
+        r += jnp.where(terminated, -0.08 * (1 + 1.2 * bm), 0.1 * bm)
+        return r
+
+    if td.name == "CONTINUOUS_JUMPING_FORWARD":
+        t_n = ts.cumulative_flight_time / td.time_limit
+        d_n = ts.cumulative_fwd / td.jump_limit
+        bm = (t_n + d_n) / 2
+        r = 0.25 * t_n + 0.5 * d_n
+        r += t_n * 0.25 * jnp.exp(-ts.max_pitch**2 / 0.15**2)
+        r += jnp.where(terminated, 0.0, 0.1 * bm)
+        return r
+
+    if td.name == "CONTINUOUS_JUMPING_FORWARD2":
+        t_n = jnp.minimum(ts.max_flight_time, td.time_limit) / td.time_limit
+        d_n = jnp.minimum(ts.max_forward_distance, td.jump_limit) / td.jump_limit
+        bm = (t_n + d_n) / 2
+        r = 0.25 * t_n + 0.5 * d_n
+        r += d_n * 0.15 * jnp.exp(-ts.max_pitch**2 / 0.15**2)
+        r += 0.4 * (ctx.sim_time / td.max_ep_len) * bm
+        r += jnp.where(terminated, 0.0, 0.2 * bm)
+        return r
+
+    if td.name == "CONTINUOUS_JUMPING_FORWARD3":
+        avg = _avg_performance(ts)
+        mx = _max_performance(ts)
+        ent = _entropy_fwd(ts)
+        rew_ent = jnp.exp((ent - 1.0) / 0.3)
+        rew_avg = avg * 0.15 * jnp.exp(-ts.max_pitch**2 / 0.15**2)
+        rew_avg += avg * 0.4 * (ctx.sim_time / td.max_ep_len)
+        rew_avg += avg * rew_ent * 0.2 + avg * 0.25
+        r = 0.8 * rew_avg + 0.2 * mx + 0.1 * ts.good_jump_counter
+        r += jnp.where(terminated, 0.0, 0.2 * avg)
+        return r
+
+    if td.name == "BACKFLIP":
+        h = jnp.clip(
+            ts.max_height - td.bf_min_height, 0.0, td.bf_max_height - td.bf_min_height
+        ) / (td.bf_max_height - td.bf_min_height)
+        p = ts.max_pitch_bf / (2 * jnp.pi)
+        r = 0.4 * p + 0.4 * h + h * p
+        r += jnp.where(ts.switched_controller & ~terminated, 0.2, 0.0)
+        return r
+
+    if k == "ppo_in_place":
+        return jnp.where(terminated, -0.25 * ts.max_height, 0.0)
+
+    if k == "ppo_forward":
+        bonus = 0.05 * (ts.max_forward_distance + ts.max_height) / 2
+        return jnp.where(terminated, 0.0, bonus)
+
+    if k == "backflip_ppo":
+        bonus = 0.2 * (0.7 * ts.max_pitch_bf / 5 + 0.3 * ts.max_height) / 2
+        return jnp.where(terminated, 0.0, bonus)
+
+    if k == "continuous_ppo":
+        ent = _entropy_fwd(ts)
+        rew_ent = jnp.exp((ent - 1.0) / 0.3)
+        r = _avg_performance(ts) * rew_ent
+        return jnp.where(terminated, r - 1.0, r)
+
+    raise ValueError(f"unknown task {td.name}")
+
+
+# ---------------------------------------------------------------------------
+# Termination
+# ---------------------------------------------------------------------------
+
+def task_terminated(td: TaskDef, ts: TaskState, ctx: TaskCtx,
+                    demo_len: int | None = None) -> jnp.ndarray:
+    if td.kind == "no_task":
+        return jnp.asarray(False)
+    if td.name in ("BACKFLIP", "BACKFLIP_PPO") or td.name == "BACKFLIP_DEMO":
+        # backflip: ground-height check only, no orientation gate
+        # (robot_tasks.py:532-533 and 239-241)
+        base = (ctx.pos[2] < ctx.is_fallen_height) | ctx.invalid_contact
+    else:
+        base = default_terminated(ts, ctx)
+    if td.kind in ("demo", "continuous_demo") and demo_len is not None:
+        base = base | (ts.demo_counter >= demo_len)
+    return base
+
+
+# ---------------------------------------------------------------------------
+# Registry (task_collection.py keys)
+# ---------------------------------------------------------------------------
+
+def _ppo_common(**kw):
+    return dict(
+        min_height=0.29, max_contact_force=800.0, k_tau=0.015, k_tau_sigma=0.1,
+        k_contact=3e-4, k_pos=0.013, k_pos_sigma=40.0, k_pitch=0.014,
+        k_pitch_sigma=26.0, **kw
+    )
+
+
+TASKS = {
+    "NO_TASK": TaskDef("NO_TASK", "no_task"),
+    "JUMPING_IN_PLACE": TaskDef("JUMPING_IN_PLACE", "sparse", max_height_task=0.9),
+    "JUMPING_FORWARD": TaskDef(
+        "JUMPING_FORWARD", "sparse", max_height_task=0.3, max_forward_distance_task=1.3),
+    "JUMPING_IN_PLACE_PPO": TaskDef(
+        "JUMPING_IN_PLACE_PPO", "ppo_in_place", max_height=1.0, k_h=0.023,
+        **_ppo_common()),
+    "JUMPING_IN_PLACE_PPO_HP": TaskDef(
+        "JUMPING_IN_PLACE_PPO_HP", "ppo_in_place", max_height=1.25, k_h=0.023,
+        max_height_randomized=1.1, **_ppo_common()),
+    "JUMPING_FORWARD_PPO": TaskDef(
+        "JUMPING_FORWARD_PPO", "ppo_forward", max_height=0.9, k_h=0.026,
+        k_fwd=0.038, max_fwd=1.3, **_ppo_common()),
+    "JUMPING_FORWARD_PPO_HP": TaskDef(
+        "JUMPING_FORWARD_PPO_HP", "ppo_forward", max_height=1.1, k_h=0.026,
+        k_fwd=0.038, max_fwd=1.4, max_height_randomized=1.0,
+        max_fwd_randomized=1.3, **_ppo_common()),
+    "BACKFLIP": TaskDef("BACKFLIP", "backflip", bf_max_height=0.7, bf_min_height=0.3),
+    "BACKFLIP_PPO": TaskDef(
+        "BACKFLIP_PPO", "backflip_ppo", max_height=0.7, k_h=0.026, max_fwd=1.1,
+        **_ppo_common()),
+    "CONTINUOUS_JUMPING_FORWARD": TaskDef(
+        "CONTINUOUS_JUMPING_FORWARD", "continuous", continuous=True,
+        jump_limit=0.5, time_limit=0.15),
+    "CONTINUOUS_JUMPING_FORWARD2": TaskDef(
+        "CONTINUOUS_JUMPING_FORWARD2", "continuous", continuous=True,
+        jump_limit=0.5, time_limit=0.35),
+    "CONTINUOUS_JUMPING_FORWARD3": TaskDef(
+        "CONTINUOUS_JUMPING_FORWARD3", "continuous", continuous=True,
+        jump_limit=0.6, height_limit=0.45, fwd_weight=0.7, height_weight=0.3,
+        performance_bound=0.7),
+    "CONTINUOUS_JUMPING_FORWARD_PPO": TaskDef(
+        "CONTINUOUS_JUMPING_FORWARD_PPO", "continuous_ppo", continuous=True,
+        min_height=0.35, max_height=0.5, max_contact_force=600.0, max_fwd=0.9,
+        k_h=0.006, k_tau=0.0032, k_tau_sigma=0.15, k_contact=6e-5,
+        k_pitch=0.0043, k_pitch_sigma=26.0, k_fwd=0.0075, k_energy=0.0035,
+        k_energy_sigma=0.01, jump_limit=0.6, height_limit=0.5,
+        fwd_weight=0.7, height_weight=0.3, performance_bound=0.85),
+    "JUMPING_IN_PLACE_DEMO": TaskDef("JUMPING_IN_PLACE_DEMO", "demo"),
+    "JUMPING_FORWARD_DEMO": TaskDef("JUMPING_FORWARD_DEMO", "demo"),
+    "BACKFLIP_DEMO": TaskDef("BACKFLIP_DEMO", "demo"),
+    "CONTINUOUS_JUMPING_FORWARD_DEMO": TaskDef(
+        "CONTINUOUS_JUMPING_FORWARD_DEMO", "continuous_demo", continuous=True,
+        jump_limit=0.5, height_limit=0.5),
+}
+
+
+def get_task(name: str) -> TaskDef:
+    try:
+        return TASKS[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown task {name!r}; available: {sorted(TASKS)}") from None
+
+
+def apply_curriculum(td: TaskDef) -> TaskDef:
+    """change_parameters() hook used when env randomization is enabled
+    (robot_tasks.py:497-499, 512-515)."""
+    changes = {}
+    if td.max_height_randomized > 0:
+        changes["max_height"] = td.max_height_randomized
+    if td.max_fwd_randomized > 0:
+        changes["max_fwd"] = td.max_fwd_randomized
+    return dataclasses.replace(td, **changes) if changes else td

@@ -1,0 +1,19 @@
+"""Test config: run on a virtual 8-device CPU mesh so sharding paths are
+exercised without a TPU slice (driver benches on real TPU separately).
+
+NOTE: this container's sitecustomize force-selects the 'axon' TPU platform
+via jax.config, overriding the JAX_PLATFORMS env var — so we must override
+back to CPU *after* import, before any backend is touched.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,180 @@
+"""Dynamics core tests: mass properties, FD↔ID consistency, conservation
+laws in flight, settling under PD on the ground."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quadruped_springs_tpu.models import dynamics as dyn
+from quadruped_springs_tpu.models import spatial as sp
+from quadruped_springs_tpu.models.go1_params import build_model, go1_config, total_mass
+from quadruped_springs_tpu.ops import actuation as act
+
+
+def _default_state(pos_z=0.32, q=None, dtype=jnp.float32):
+    cfg = go1_config(True)
+    q = cfg.init_joint_angles if q is None else q
+    return dyn.RobotState(
+        pos=jnp.array([0.0, 0.0, pos_z], dtype),
+        quat=jnp.array([0.0, 0.0, 0.0, 1.0], dtype),
+        lin_vel=jnp.zeros(3, dtype),
+        ang_vel=jnp.zeros(3, dtype),
+        q=jnp.asarray(q, dtype),
+        qd=jnp.zeros(12, dtype),
+    )
+
+
+def test_total_mass():
+    model = build_model()
+    # URDF totals: trunk 5.204 + base 1e-5 + imu 0.001 + 4*(0.591+0.92+0.131+0.06)
+    np.testing.assert_allclose(float(total_mass(model)), 12.01301, atol=1e-4)
+
+
+def test_mass_matrix_symmetric_posdef():
+    model = build_model()
+    key = jax.random.PRNGKey(0)
+    for i in range(3):
+        q = jax.random.uniform(jax.random.PRNGKey(i), (12,), minval=-1.0, maxval=1.0)
+        M = dyn.mass_matrix(model, q)
+        np.testing.assert_allclose(M, M.T, atol=1e-5)
+        eig = np.linalg.eigvalsh(np.asarray(M))
+        assert eig.min() > 0, f"M not PD, min eig {eig.min()}"
+
+
+def test_fd_id_roundtrip():
+    """forward dynamics then inverse dynamics must recover the input forces."""
+    model = build_model()
+    params = dyn.default_sim_params()
+    state = _default_state(pos_z=1.0)  # airborne: no contact forces
+    state = state.replace(
+        lin_vel=jnp.array([0.5, -0.2, 0.3]),
+        ang_vel=jnp.array([0.1, 0.4, -0.2]),
+        qd=jnp.linspace(-1.0, 1.0, 12),
+    )
+    tau = jnp.linspace(-3.0, 3.0, 12)
+    a0, qdd, info = dyn.forward_dynamics(model, params, state, tau)
+    assert not bool(info["feet_in_contact"].any())
+    tau_rec = dyn.inverse_dynamics(model, state, a0, qdd)
+    np.testing.assert_allclose(tau_rec[6:], tau, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(tau_rec[:6], 0.0, atol=2e-3)
+
+
+def test_crba_matches_rnea_columns():
+    """Independent check: M columns from unit-acceleration inverse dynamics."""
+    model = build_model()
+    q = jnp.array([0.1, 0.7, -1.6, -0.05, 0.9, -1.4, 0.12, 0.5, -1.8, 0.0, 0.8, -1.5])
+    state = _default_state(pos_z=1.0, q=q)
+    M = dyn.mass_matrix(model, q)
+    h0 = dyn.inverse_dynamics(model, state, jnp.zeros(6), jnp.zeros(12))
+    for i in [0, 3, 7, 12, 17]:
+        e = jnp.zeros(18).at[i].set(1.0)
+        col = dyn.inverse_dynamics(model, state, e[:6], e[6:]) - h0
+        np.testing.assert_allclose(col, M[:, i], rtol=1e-3, atol=1e-4)
+
+
+def test_free_fall_momentum():
+    """Ballistic flight: COM accelerates at exactly -g; angular momentum about
+    COM is conserved."""
+    model = build_model()
+    params = dyn.default_sim_params()
+    cfg = go1_config(True)
+    state = _default_state(pos_z=2.0)
+    state = state.replace(ang_vel=jnp.array([0.0, 1.0, 0.0]))
+    m_tot = float(total_mass(model))
+
+    def com_world(s):
+        R = sp.quat_to_mat(s.quat)
+        fk = dyn.leg_fk_base(model, s.q)
+        coms_b = fk["o"] + jnp.einsum("ljab,ljb->lja", fk["R"], model.leg_coms)
+        mcx = model.trunk_inertia6[:3, 3:]
+        c_trunk = jnp.array([mcx[2, 1], mcx[0, 2], mcx[1, 0]]) / model.trunk_mass
+        w = model.trunk_mass * (s.pos + R @ c_trunk)
+        w = w + jnp.sum(model.leg_masses[..., None] * (s.pos + coms_b @ R.T), axis=(0, 1))
+        return w / m_tot
+
+    n, dt = 100, params.dt
+    com0 = com_world(state)
+    s = state
+    step = jax.jit(lambda s: dyn.step(model, params, s, jnp.zeros(12), cfg.velocity_limits)[0])
+    for _ in range(n):
+        s = step(s)
+    com1 = com_world(s)
+    t = n * dt
+    # COM ballistic: z drop = g dt^2 n(n+1)/2 for semi-implicit Euler with
+    # vz0=0; xy unchanged. Tolerance covers first-order integrator error of
+    # the internal (leg-swing) motion — the instantaneous accelerations are
+    # validated to 1e-5 by the Lagrangian oracle test.
+    np.testing.assert_allclose(
+        com1[2] - com0[2], -0.5 * 9.8 * dt * dt * n * (n + 1), atol=2e-3)
+    np.testing.assert_allclose(com1[:2], com0[:2], atol=2e-3)
+
+
+def test_energy_conservation_in_flight():
+    """No contact, no torques, no springs: E = KE + PE constant."""
+    model = build_model()
+    params = dyn.default_sim_params()
+    cfg = go1_config(False)
+    state = _default_state(pos_z=3.0)
+    state = state.replace(
+        ang_vel=jnp.array([0.5, 1.0, 0.3]),
+        lin_vel=jnp.array([0.3, -0.2, 0.5]),
+        qd=jnp.full(12, 0.5),
+    )
+    e0 = float(dyn.kinetic_energy(model, state) + dyn.potential_energy(model, state))
+    step = jax.jit(lambda s: dyn.step(model, params, s, jnp.zeros(12), cfg.velocity_limits)[0])
+    s = state
+    for _ in range(300):
+        s = step(s)
+    e1 = float(dyn.kinetic_energy(model, s) + dyn.potential_energy(model, s))
+    assert abs(e1 - e0) / abs(e0) < 2e-3, f"energy drifted {e0} -> {e1}"
+
+
+def test_settle_under_pd_on_ground():
+    """PD holding the init pose from the init height must settle near
+    standing height with all feet in contact (the 'reset settle' behavior,
+    quadruped_gym_env.py:323-329)."""
+    model = build_model()
+    params = dyn.default_sim_params()
+    cfg = go1_config(True)
+    state = _default_state(pos_z=0.32)
+
+    def substep(s, _):
+        tau, _, _ = act.motor_and_spring_torque(cfg, cfg.init_joint_angles, s.q, s.qd)
+        s2, info = dyn.step(model, params, s, tau, cfg.velocity_limits)
+        return s2, info["feet_in_contact"]
+
+    settle = jax.jit(lambda s: jax.lax.scan(substep, s, None, length=2500))
+    s, contacts = settle(state)
+    assert 0.25 < float(s.pos[2]) < 0.36, f"settled height {s.pos[2]}"
+    assert bool(jnp.all(contacts[-1])), "feet should be on the ground"
+    assert float(jnp.linalg.norm(s.lin_vel)) < 0.1
+    rpy = sp.quat_to_rpy(s.quat)
+    assert float(jnp.abs(rpy).max()) < 0.1
+    # joints remain near the commanded pose
+    assert float(jnp.abs(s.q - cfg.init_joint_angles).max()) < 0.15
+
+
+def test_on_rack_base_fixed():
+    model = build_model()
+    params = dyn.default_sim_params(on_rack=True)
+    cfg = go1_config(True)
+    state = _default_state(pos_z=1.0)
+    step = jax.jit(lambda s: dyn.step(model, params, s, jnp.zeros(12), cfg.velocity_limits)[0])
+    s = state
+    for _ in range(50):
+        s = step(s)
+    np.testing.assert_allclose(s.pos, state.pos, atol=1e-6)
+    # joints still move (gravity swings the legs)
+    assert float(jnp.abs(s.q - state.q).max()) > 1e-4
+
+
+def test_batched_step_vmaps():
+    model = build_model()
+    params = dyn.default_sim_params()
+    cfg = go1_config(True)
+    base = _default_state()
+    batch = jax.tree.map(lambda x: jnp.broadcast_to(x, (16,) + x.shape), base)
+    step = jax.vmap(lambda s: dyn.step(model, params, s, jnp.zeros(12), cfg.velocity_limits)[0])
+    out = jax.jit(step)(batch)
+    assert out.pos.shape == (16, 3)
