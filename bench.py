@@ -39,7 +39,7 @@ def main():
     scenarios = jax.vmap(
         lambda k: rnd.sample_scenario(prob.cfg, "TEST_RANDOMIZER", k))(keys)
     x0 = prob.default_x0()
-    u0 = prob.default_warm_start()
+    u0 = prob.task_warm_start()
     x0s = jnp.broadcast_to(x0, (BATCH,) + x0.shape)
     u0s = jnp.broadcast_to(u0, (BATCH,) + u0.shape)
 

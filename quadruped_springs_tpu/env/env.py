@@ -154,23 +154,6 @@ class QuadrupedEnv:
             tau_s = jnp.zeros_like(tau_m)
         return tau_m + tau_s, tau_m, tau_s
 
-    def _invalid_contact(self, model, robot) -> jnp.ndarray:
-        """Non-foot ground contact (knees, thighs, trunk underside) — the
-        termination surface of GetContactInfo's invalid contacts
-        (quadruped.py:224-258)."""
-        fk = dyn.leg_fk_base(model, robot.q)
-        R = sp.quat_to_mat(robot.quat)
-        # probe points: knee (calf origin), calf midpoint, thigh midpoint
-        knee = fk["o"][:, 2]                                    # (4,3)
-        foot = fk["foot"]
-        calf_mid = 0.5 * (knee + foot)
-        thigh_mid = 0.5 * (fk["o"][:, 1] + knee)
-        probes = jnp.concatenate([knee, calf_mid, thigh_mid], axis=0)  # (12,3)
-        z = (robot.pos + probes @ R.T)[:, 2]
-        limb_hit = jnp.any(z < 0.015)
-        trunk_hit = robot.pos[2] < 0.05
-        return limb_hit | trunk_hit
-
     def _sensor_ctx(self, state: EnvState) -> sn.SensorContext:
         return sn.make_context(
             state.robot, state.feet_in_contact,
@@ -209,12 +192,17 @@ class QuadrupedEnv:
         params = self._scenario_sim_params(scenario)
 
         robot = self._init_robot_state()
-        settle_cmd = ci.reference_to_command(self.iface, self.iface.init_pose)
+        # Settling always drives joint-space PD toward the init pose — for RL
+        # interfaces via the achievable command projection
+        # (interface_base.py:182-200), for TORQUE mode via the temporary PD
+        # switch of settle_robot_by_pd (control_interface/utils.py:22-30).
         if self.config.motor_control_mode == "CARTESIAN_PD":
             settle_q_des = ci.action_to_command(
                 self.iface, ci.command_to_action(self.iface, self.iface.init_pose))
+        elif self.config.motor_control_mode == "TORQUE":
+            settle_q_des = self.cfg.init_joint_angles
         else:
-            settle_q_des = settle_cmd
+            settle_q_des = ci.reference_to_command(self.iface, self.iface.init_pose)
 
         if desired_robot_state is None:
             def substep(r, _):
@@ -241,7 +229,7 @@ class QuadrupedEnv:
             spring_torques=jnp.zeros(12),
             feet_in_contact=cinfo["feet_in_contact"],
             feet_forces=cinfo["foot_forces"],
-            invalid_contact=self._invalid_contact(model, robot),
+            invalid_contact=cinfo["invalid_contact"],
             sim_step_counter=jnp.asarray(0, jnp.int32),
             env_step_counter=jnp.asarray(0, jnp.int32),
             key=key,
@@ -300,10 +288,11 @@ class QuadrupedEnv:
                 tau = tau_m + tau_s
             robot2, info = dyn.step(model, params, robot, tau,
                                     self.cfg.velocity_limits)
-            out = (info["feet_in_contact"], info["foot_forces"], tau_m, tau_s)
+            out = (info["feet_in_contact"], info["foot_forces"],
+                   info["invalid_contact"], tau_m, tau_s)
             return robot2, out
 
-        robot, (contacts, forces, tau_ms, tau_ss) = jax.lax.scan(
+        robot, (contacts, forces, invalids, tau_ms, tau_ss) = jax.lax.scan(
             substep, state.robot, jnp.arange(cfgc.action_repeat))
 
         state = state.replace(
@@ -316,7 +305,7 @@ class QuadrupedEnv:
             spring_torques=tau_ss[-1],
             feet_in_contact=contacts[-1],
             feet_forces=forces[-1],
-            invalid_contact=self._invalid_contact(model, robot),
+            invalid_contact=invalids[-1],
             sim_step_counter=state.sim_step_counter + cfgc.action_repeat,
             env_step_counter=state.env_step_counter + 1,
         )

@@ -224,35 +224,74 @@ def solve_star(A, B, D, rhs_base, rhs_joints, eps: float = 1e-9):
 
 # ---------------------------------------------------------------------------
 # Contact
+#
+# Collision sites: 4 foot spheres (r=0.02, urdf:231-235) + body "bumpers" —
+# 4 knee spheres (calf joint origin) and 4 trunk corners — so a crashed or
+# inverted robot collides with the ground like PyBullet's full-link
+# collision does, instead of only the feet. Feet are sites [0:4]; only they
+# feed the GetContactInfo surface (forces/bools); knee/trunk penetration
+# feeds the invalid-contact termination (quadruped.py:224-258).
 # ---------------------------------------------------------------------------
 
-def foot_state_world(model: Go1Model, state: RobotState, fk=None):
-    """World positions and velocities of the 4 foot centers."""
+KNEE_RADIUS = 0.02
+TRUNK_RADIUS = 0.055
+TRUNK_CORNERS = jnp.array([
+    [0.18, 0.065, 0.0], [0.18, -0.065, 0.0],
+    [-0.18, 0.065, 0.0], [-0.18, -0.065, 0.0],
+])
+N_SITES = 12  # 4 feet + 4 knees + 4 trunk corners
+
+
+def contact_sites(model: Go1Model, fk):
+    """Base-frame positions + radii of all collision sites. (12,3), (12,)."""
+    feet = fk["foot"]
+    knees = fk["o"][:, 2]
+    trunk = jnp.asarray(TRUNK_CORNERS, feet.dtype)
+    pts = jnp.concatenate([feet, knees, trunk], axis=0)
+    radii = jnp.concatenate([
+        jnp.full(4, model.foot_radius), jnp.full(4, KNEE_RADIUS),
+        jnp.full(4, TRUNK_RADIUS)]).astype(feet.dtype)
+    return pts, radii
+
+
+def site_state_world(model: Go1Model, state: RobotState, fk=None):
+    """World positions and velocities of all 12 collision sites."""
     if fk is None:
         fk = leg_fk_base(model, state.q)
     R = sp.quat_to_mat(state.quat)
-    p_b = fk["foot"]                                      # (4,3) base coords
-    p_w = state.pos + p_b @ R.T
-    # v_foot_base-frame = v_b + w_b x p + J qd
+    pts_b, radii = contact_sites(model, fk)               # (12,3)
+    p_w = state.pos + pts_b @ R.T
     w_b = R.T @ state.ang_vel
     v_b = R.T @ state.lin_vel
     qd = state.qd.reshape(4, 3)
-    # point Jacobian contribution: sum_i a_i x (p_f - o_i) qd_i
-    arm = p_b[:, None, :] - fk["o"]                       # (4,3joints,3)
-    Jqd = jnp.sum(jnp.cross(fk["axes"], arm) * qd[..., None], axis=1)
-    v_pt_b = v_b + jnp.cross(w_b, p_b) + Jqd
+    # joint contribution: sum_i a_i x (p - o_i) qd_i per leg point; zero for
+    # trunk points. Feet/knees of leg l move with leg l's joints.
+    leg_pts = pts_b[:8].reshape(2, 4, 3)                  # (feet/knees, leg, 3)
+    arm = leg_pts[:, :, None, :] - fk["o"][None]          # (2,4,3joints,3)
+    Jqd = jnp.sum(jnp.cross(fk["axes"][None], arm) * qd[None, ..., None],
+                  axis=2).reshape(8, 3)
+    Jqd = jnp.concatenate([Jqd, jnp.zeros((4, 3), Jqd.dtype)], axis=0)
+    v_pt_b = v_b + jnp.cross(w_b, pts_b) + Jqd
     v_w = v_pt_b @ R.T
-    return p_w, v_w, fk
+    return p_w, v_w, radii, fk
 
 
-def contact_forces(model: Go1Model, params: SimParams, p_w, v_w):
-    """Compliant normal + regularized Coulomb friction at each foot.
+def foot_state_world(model: Go1Model, state: RobotState, fk=None):
+    """World positions and velocities of the 4 foot centers (legacy view)."""
+    p_w, v_w, _, fk = site_state_world(model, state, fk)
+    return p_w[:4], v_w[:4], fk
 
-    Returns (4,3) world forces and (4,) normal force magnitudes (the
-    feetNormalForces / feetInContactBool surface of GetContactInfo,
+
+def contact_forces(model: Go1Model, params: SimParams, p_w, v_w, radii=None):
+    """Compliant normal + regularized Coulomb friction at contact sites.
+
+    Returns (N,3) world forces and (N,) normal force magnitudes (sites [0:4]
+    are the feetNormalForces / feetInContactBool surface of GetContactInfo,
     quadruped.py:224-258).
     """
-    phi = model.foot_radius - p_w[:, 2]                   # penetration depth
+    if radii is None:
+        radii = model.foot_radius
+    phi = radii - p_w[:, 2]                               # penetration depth
     in_contact = phi > 0.0
     phidot = -v_w[:, 2]
     fn = params.contact_stiffness * phi + params.contact_damping * phidot
@@ -266,12 +305,19 @@ def contact_forces(model: Go1Model, params: SimParams, p_w, v_w):
     return f_world, fn, in_contact
 
 
-def _generalized_contact_force(fk, s, R, f_world):
-    """Map world foot forces to generalized forces (base coords)."""
+def _generalized_contact_force(model, fk, s, R, f_world):
+    """Map world site forces (12 sites) to generalized forces (base coords).
+
+    Sites 0-3 feet and 4-7 knees ride on the calf bodies (all three joints
+    of their leg receive s_iᵀ f); sites 8-11 are trunk corners (base wrench
+    only). The knee point coincides with the calf joint origin, so its calf-
+    joint torque vanishes identically through the same formula.
+    """
     f_b = f_world @ R                                     # rotate world->base
-    p = fk["foot"]                                        # (4,3)
-    f_spatial = jnp.concatenate([jnp.cross(p, f_b), f_b], axis=-1)  # (4,6)
-    tau_joints = jnp.einsum("lja,la->lj", s, f_spatial).reshape(12)
+    pts, _ = contact_sites(model, fk)                     # (12,3) base frame
+    f_spatial = jnp.concatenate([jnp.cross(pts, f_b), f_b], axis=-1)  # (12,6)
+    f_legs = f_spatial[:4] + f_spatial[4:8]               # per-leg site sum
+    tau_joints = jnp.einsum("lja,la->lj", s, f_legs).reshape(12)
     f_base = jnp.sum(f_spatial, axis=0)
     return f_base, tau_joints
 
@@ -299,9 +345,9 @@ def forward_dynamics(model: Go1Model, params: SimParams, state: RobotState,
     A, B, D, fk, s = mass_matrix_blocks(model, state.q)
     h = bias_forces(model, R, u, fk, s)
 
-    p_w, v_w, _ = foot_state_world(model, state, fk)
-    f_world, fn, in_contact = contact_forces(model, params, p_w, v_w)
-    f_base_c, tau_c = _generalized_contact_force(fk, s, R, f_world)
+    p_w, v_w, radii, _ = site_state_world(model, state, fk)
+    f_world, fn, in_contact = contact_forces(model, params, p_w, v_w, radii)
+    f_base_c, tau_c = _generalized_contact_force(model, fk, s, R, f_world)
 
     # joint-limit penalty torques (PyBullet enforces URDF limits)
     over = jnp.maximum(state.q - REAL_UPPER, 0.0)
@@ -328,11 +374,13 @@ def forward_dynamics(model: Go1Model, params: SimParams, state: RobotState,
     else:
         a0, qdd = solve_star(A, B, D, rhs_base, rhs_joints)
     info = {
-        "foot_pos_world": p_w,
-        "foot_vel_world": v_w,
-        "foot_forces": fn,
-        "feet_in_contact": in_contact,
-        "contact_force_world": f_world,
+        "foot_pos_world": p_w[:4],
+        "foot_vel_world": v_w[:4],
+        "foot_forces": fn[:4],
+        "feet_in_contact": in_contact[:4],
+        "contact_force_world": f_world[:4],
+        # non-foot ground contact = the invalid-contact termination surface
+        "invalid_contact": jnp.any(in_contact[4:]),
     }
     return a0, qdd, info
 

@@ -88,7 +88,11 @@ def make_cost(task: str, cfg: Go1Config, action_dim: int, horizon: int):
         w_h, w_x, w_pitch, w_up = 60.0, 8.0, 4.0, 10.0
 
         def stage(x, u, t):
+            # small dense apex term: pushes information about the terminal
+            # height objective through the whole horizon (sparse terminal
+            # rewards stall iLQR through 50 knots of contact)
             return (base_stage(x, u, t)
+                    - (w_h / horizon) * 0.5 * _apex_height(x)
                     + 0.15 * w_x * _pos(x)[0] ** 2
                     + 0.15 * w_pitch * _pitch(x) ** 2)
 

@@ -1,0 +1,203 @@
+"""PPO — the reference's stage-2 trainer (SB3 PPO), native in JAX/optax.
+
+Clipped-surrogate PPO with GAE, tanh-Gaussian MLP policy, running obs
+normalization, minibatched epochs — the learner step is one jitted program
+so the whole (rollout → advantage → epochs of minibatch updates) pipeline
+stays on-device; batch envs vmap, and the env axis can shard over the mesh.
+
+Used for the imitate-then-finetune stage of the two-stage methodology
+(load_model.py:45-47: ARS → demonstrations → PPO imitation → PPO finetune):
+point it at a *_DEMO task for imitation or a *_PPO task for finetuning.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from quadruped_springs_tpu.env.env import QuadrupedEnv
+from quadruped_springs_tpu.train import normalize as vnorm
+from quadruped_springs_tpu.train import rollout as ro
+from quadruped_springs_tpu.train.networks import MLPPolicy, gaussian_logp
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    n_envs: int = 32
+    segment_len: int = 64
+    n_epochs: int = 4
+    n_minibatches: int = 4
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    lr: float = 3e-4
+    vf_coef: float = 0.5
+    ent_coef: float = 0.0
+    max_grad_norm: float = 0.5
+    reset_bank_size: int = 32
+    hidden: tuple = (64, 64)
+
+
+@struct.dataclass
+class PPOState:
+    params: dict
+    opt_state: optax.OptState
+    obs_norm: vnorm.RunningNorm
+    env_states: object           # batched EnvState
+    obs: jnp.ndarray             # (n_envs, obs_dim)
+    bank: tuple                  # (bank_states, bank_obs)
+    key: jax.Array
+    iteration: jnp.ndarray
+
+
+class PPOTrainer:
+    def __init__(self, env: QuadrupedEnv, config: PPOConfig = PPOConfig()):
+        self.env = env
+        self.config = config
+        self.net = MLPPolicy(env.action_dim, config.hidden)
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(config.max_grad_norm),
+            optax.adam(config.lr))
+
+    def init(self, key: jax.Array) -> PPOState:
+        cfg = self.config
+        k_param, k_bank, k_env, key = jax.random.split(key, 4)
+        params = self.net.init(k_param, jnp.zeros(self.env.obs_dim))
+        bank = ro.make_reset_bank(self.env, k_bank, cfg.reset_bank_size)
+        idx = jax.random.randint(k_env, (cfg.n_envs,), 0, cfg.reset_bank_size)
+        env_states = jax.tree.map(lambda a: a[idx], bank[0])
+        obs = bank[1][idx]
+        return PPOState(
+            params=params,
+            opt_state=self.tx.init(params),
+            obs_norm=vnorm.RunningNorm.create(self.env.obs_dim),
+            env_states=env_states,
+            obs=obs,
+            bank=bank,
+            key=key,
+            iteration=jnp.asarray(0, jnp.int32),
+        )
+
+    def _action_fn(self, params, obs_norm):
+        def fn(obs, key):
+            o = vnorm.normalize(obs_norm, obs)
+            mean, log_std, value = self.net.apply(params, o)
+            eps = jax.random.normal(key, mean.shape)
+            a = jnp.clip(mean + jnp.exp(log_std) * eps, -1.0, 1.0)
+            return a, gaussian_logp(a, mean, log_std), value
+        return fn
+
+    def _gae(self, traj, last_value):
+        cfg = self.config
+        rewards, values, dones = traj["reward"], traj["value"], traj["done"]
+        values_tp1 = jnp.concatenate([values[1:], last_value[None]], axis=0)
+        not_done = 1.0 - dones.astype(jnp.float32)
+        deltas = rewards + cfg.gamma * values_tp1 * not_done - values
+
+        def back(carry, inp):
+            delta, nd = inp
+            adv = delta + cfg.gamma * cfg.gae_lambda * nd * carry
+            return adv, adv
+
+        _, advs = jax.lax.scan(back, jnp.zeros_like(last_value),
+                               (deltas, not_done), reverse=True)
+        return advs, advs + values
+
+    def _loss(self, params, batch):
+        cfg = self.config
+        mean, log_std, value = self.net.apply(params, batch["obs_n"])
+        logp = gaussian_logp(batch["action"], mean, log_std)
+        ratio = jnp.exp(logp - batch["logp"])
+        adv = batch["adv"]
+        adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+        pg = -jnp.minimum(
+            ratio * adv,
+            jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv).mean()
+        vf = 0.5 * jnp.mean((value - batch["ret"]) ** 2)
+        ent = jnp.sum(log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e))
+        return pg + cfg.vf_coef * vf - cfg.ent_coef * ent, \
+            {"pg_loss": pg, "vf_loss": vf, "approx_kl": jnp.mean(batch["logp"] - logp)}
+
+    @partial(jax.jit, static_argnums=0)
+    def train_step(self, ts: PPOState):
+        cfg = self.config
+        key, k_roll, k_perm = jax.random.split(ts.key, 3)
+
+        env_states, obs, traj = ro.segment_rollout(
+            self.env, self._action_fn(ts.params, ts.obs_norm),
+            ts.env_states, ts.obs, ts.bank, k_roll, cfg.segment_len)
+
+        obs_flat = traj["obs"].reshape(-1, self.env.obs_dim)
+        obs_norm = vnorm.update(ts.obs_norm, obs_flat)
+
+        o_last = vnorm.normalize(ts.obs_norm, obs)
+        _, _, last_value = self.net.apply(ts.params, o_last)
+        advs, rets = self._gae(traj, last_value)
+
+        batch = {
+            "obs_n": vnorm.normalize(ts.obs_norm, traj["obs"]).reshape(
+                -1, self.env.obs_dim),
+            "action": traj["action"].reshape(-1, self.env.action_dim),
+            "logp": traj["logp"].reshape(-1),
+            "adv": advs.reshape(-1),
+            "ret": rets.reshape(-1),
+        }
+        n = batch["logp"].shape[0]
+        mb = n // cfg.n_minibatches
+
+        def epoch(carry, k):
+            params, opt_state = carry
+            perm = jax.random.permutation(k, n)
+            shuf = jax.tree.map(lambda a: a[perm], batch)
+
+            def minibatch(carry, i):
+                params, opt_state = carry
+                sl = jax.tree.map(
+                    lambda a: jax.lax.dynamic_slice_in_dim(a, i * mb, mb), shuf)
+                (loss, aux), grads = jax.value_and_grad(
+                    self._loss, has_aux=True)(params, sl)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), (loss, aux)
+
+            (params, opt_state), (losses, auxs) = jax.lax.scan(
+                minibatch, (params, opt_state), jnp.arange(cfg.n_minibatches))
+            return (params, opt_state), (losses, auxs)
+
+        keys = jax.random.split(k_perm, cfg.n_epochs)
+        (params, opt_state), (losses, auxs) = jax.lax.scan(
+            epoch, (ts.params, ts.opt_state), keys)
+
+        metrics = {
+            "loss": jnp.mean(losses),
+            "pg_loss": jnp.mean(auxs["pg_loss"]),
+            "vf_loss": jnp.mean(auxs["vf_loss"]),
+            "approx_kl": jnp.mean(auxs["approx_kl"]),
+            "mean_reward": jnp.mean(traj["reward"]),
+            "episode_rate": jnp.mean(traj["done"].astype(jnp.float32)),
+        }
+        return ts.replace(
+            params=params, opt_state=opt_state, obs_norm=obs_norm,
+            env_states=env_states, obs=obs, key=key,
+            iteration=ts.iteration + 1), metrics
+
+    @partial(jax.jit, static_argnums=(0, 2, 3))
+    def evaluate(self, ts: PPOState, n_episodes: int = 8,
+                 max_steps: int = 200):
+        key = jax.random.fold_in(ts.key, 321)
+        states, obs = ro.make_reset_bank(self.env, key, n_episodes)
+
+        def policy(obs):
+            o = vnorm.normalize(ts.obs_norm, obs)
+            mean, _, _ = self.net.apply(ts.params, o)
+            return jnp.clip(mean, -1.0, 1.0)
+
+        rets, info = ro.episode_returns(self.env, policy, states, obs, max_steps)
+        return {"return_mean": jnp.mean(rets), "return_std": jnp.std(rets),
+                "max_height": jnp.max(info["max_height"]),
+                "max_fwd": jnp.max(info["max_fwd"])}

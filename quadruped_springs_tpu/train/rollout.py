@@ -1,0 +1,101 @@
+"""Batched rollout machinery for the native trainers.
+
+Replaces the SB3 VecEnv axis (make_vec_env, load_model.py:113) with vmapped
+lax.scan rollouts:
+
+  * `episode_returns` — episodic, done-masked rollouts for ARS / evaluation.
+  * `segment_rollout` — fixed-length segments with auto-reset for PPO.
+
+Auto-reset note: a faithful env.reset re-settles the robot for 2500 sim
+steps (quadruped_gym_env.py:323-329). Inside a scanned training loop that
+would execute every step (both lax.cond branches trace), so auto-reset
+swaps in states drawn from a pre-settled *reset bank* instead — same
+distribution, O(1) per step. The bank is rebuilt (new scenarios) every
+learner iteration if desired.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from quadruped_springs_tpu.env.env import QuadrupedEnv
+
+
+def make_reset_bank(env: QuadrupedEnv, key: jax.Array, n: int):
+    """n pre-settled reset states + initial observations (vmapped resets)."""
+    keys = jax.random.split(key, n)
+    states, obs = jax.vmap(env.reset)(keys)
+    return states, obs
+
+
+def episode_returns(env: QuadrupedEnv, policy_fn: Callable, states, obs0,
+                    max_steps: int):
+    """Roll full episodes from given start states; returns per-episode
+    (return, length, max_height, max_fwd). policy_fn: obs -> action.
+    All leading-dim batched; jit/vmap friendly (done-masked scan)."""
+
+    def step_one(carry, _):
+        state, obs, done, ret, length, mh, mf = carry
+        action = policy_fn(obs)
+        state2, obs2, r, d2, info = jax.vmap(env.step)(state, action)
+        keep = ~done
+        ret = ret + jnp.where(keep, r, 0.0)
+        length = length + keep.astype(jnp.int32)
+        mh = jnp.maximum(mh, jnp.where(keep, info["max_height"], 0.0))
+        mf = jnp.maximum(mf, jnp.where(keep, info["max_fwd"], 0.0))
+        # freeze the state after done (no reset — episodic semantics)
+        state = jax.tree.map(
+            lambda a, b: jnp.where(done.reshape((-1,) + (1,) * (a.ndim - 1)), a, b),
+            state, state2)
+        obs = jnp.where(done[:, None], obs, obs2)
+        return (state, obs, done | d2, ret, length, mh, mf), None
+
+    B = obs0.shape[0]
+    init = (
+        states, obs0, jnp.zeros(B, bool), jnp.zeros(B), jnp.zeros(B, jnp.int32),
+        jnp.zeros(B), jnp.zeros(B),
+    )
+    carry, _ = jax.lax.scan(step_one, init, None, length=max_steps)
+    _, _, done, ret, length, mh, mf = carry
+    return ret, {"length": length, "max_height": mh, "max_fwd": mf}
+
+
+def segment_rollout(env: QuadrupedEnv, action_fn: Callable, states, obs,
+                    bank, key: jax.Array, T: int):
+    """T-step segment with auto-reset from the bank.
+
+    action_fn(obs, key) -> (action, logp, value) — vectorized over batch.
+    Returns (states, obs, traj dict with leading time axis).
+    """
+    bank_states, bank_obs = bank
+    n_bank = bank_obs.shape[0]
+
+    def pick_reset(idx_key):
+        idx = jax.random.randint(idx_key, (), 0, n_bank)
+        return (jax.tree.map(lambda a: a[idx], bank_states), bank_obs[idx])
+
+    def step_one(carry, key_t):
+        states, obs = carry
+        k_act, k_reset = jax.random.split(key_t)
+        action, logp, value = action_fn(obs, k_act)
+        states2, obs2, r, done, info = jax.vmap(env.step)(states, action)
+        # auto-reset where done
+        B = obs.shape[0]
+        reset_keys = jax.random.split(k_reset, B)
+        r_states, r_obs = jax.vmap(pick_reset)(reset_keys)
+        states3 = jax.tree.map(
+            lambda new, rs: jnp.where(
+                done.reshape((-1,) + (1,) * (new.ndim - 1)), rs, new),
+            states2, r_states)
+        obs3 = jnp.where(done[:, None], r_obs, obs2)
+        out = {"obs": obs, "action": action, "logp": logp, "value": value,
+               "reward": r, "done": done}
+        return (states3, obs3), out
+
+    keys = jax.random.split(key, T)
+    (states, obs), traj = jax.lax.scan(step_one, (states, obs), keys)
+    return states, obs, traj
