@@ -41,6 +41,11 @@ class ILQRConfig:
     reg_factor: float = 2.0
     u_min: float = -1.0
     u_max: float = 1.0
+    # Per-knot PD shift for Q_uu: "gershgorin" (cheap elementwise lower
+    # bound on λ_min — the TPU default: eigvalsh lowers to an iterative
+    # eigensolver that costs ~2.5x the whole backward scan) or "eig"
+    # (exact shift by the most negative eigenvalue).
+    pd_shift: str = "gershgorin"
 
 
 @struct.dataclass
@@ -81,21 +86,29 @@ def solve(dynamics: Callable, stage_cost: Callable, terminal_cost: Callable,
         _, xs_tail = jax.lax.scan(f, x0, us)
         return jnp.concatenate([x0[None], xs_tail], axis=0)
 
-    f_x = jax.vmap(jax.jacfwd(dynamics, argnums=0))
-    f_u = jax.vmap(jax.jacfwd(dynamics, argnums=1))
+    # One fused forward-mode sweep for ALL derivatives: seed n+m tangents
+    # through a joint (dynamics, grad-of-cost) evaluation so XLA shares the
+    # primal dynamics work across A, B, l_xx, l_uu, l_ux — instead of six
+    # separate jacfwd/hessian passes re-evaluating the model.
+    def _dyn_and_cost_grad(z, t):
+        x, u = z[:n], z[n:]
+        xp = dynamics(x, u)
+        gx, gu = jax.grad(stage_cost, argnums=(0, 1))(x, u, t)
+        return xp, jnp.concatenate([gx, gu])
+
+    jac_all = jax.vmap(jax.jacfwd(_dyn_and_cost_grad, argnums=0))
     l_grads = jax.vmap(jax.grad(stage_cost, argnums=(0, 1)))
-    l_xx_f = jax.vmap(jax.hessian(stage_cost, argnums=0))
-    l_uu_f = jax.vmap(jax.hessian(stage_cost, argnums=1))
-    l_ux_f = jax.vmap(jax.jacfwd(jax.grad(stage_cost, argnums=1), argnums=0))
 
     def backward(xs, us, reg):
         ts = jnp.arange(H)
-        A = f_x(xs[:-1], us)                     # (H, n, n)
-        B = f_u(xs[:-1], us)                     # (H, n, m)
+        zs = jnp.concatenate([xs[:-1], us], axis=-1)     # (H, n+m)
+        J_dyn, J_lag = jac_all(zs, ts)
+        A = J_dyn[:, :, :n]                      # (H, n, n)
+        B = J_dyn[:, :, n:]                      # (H, n, m)
+        lxx = J_lag[:, :n, :n]
+        lux = J_lag[:, n:, :n]
+        luu = J_lag[:, n:, n:]
         lx, lu = l_grads(xs[:-1], us, ts)
-        lxx = l_xx_f(xs[:-1], us, ts)
-        luu = l_uu_f(xs[:-1], us, ts)
-        lux = l_ux_f(xs[:-1], us, ts)
         Vx = jax.grad(terminal_cost)(xs[-1])
         Vxx = jax.hessian(terminal_cost)(xs[-1])
 
@@ -117,12 +130,19 @@ def solve(dynamics: Callable, stage_cost: Callable, terminal_cost: Callable,
             Vxx_r = Vxx + reg * jnp.eye(Vxx.shape[0], dtype=us.dtype)
             Quu_r = luu_t + B_t.T @ Vxx_r @ B_t
             Qux_r = lux_t + B_t.T @ Vxx_r @ A_t
-            # per-knot adaptive Levenberg-Marquardt: shift by the most
-            # negative eigenvalue so Quu_reg is always PD — fixed compute
-            # (no retry loop), essential because the value function goes
-            # indefinite through contact/clip nonconvexities.
-            evals = jnp.linalg.eigvalsh(Quu_r)
-            mu_t = reg + jnp.maximum(-evals[0], 0.0) + 1e-6
+            # per-knot adaptive Levenberg-Marquardt: shift so Quu_reg is
+            # always PD — fixed compute (no retry loop), essential because
+            # the value function goes indefinite through contact/clip
+            # nonconvexities. Gershgorin gives λ_min ≥ min_i(a_ii − Σ|a_ij|)
+            # with pure elementwise ops; "eig" shifts by the exact most
+            # negative eigenvalue.
+            if config.pd_shift == "eig":
+                lam_min = jnp.linalg.eigvalsh(Quu_r)[0]
+            else:
+                offdiag = (jnp.sum(jnp.abs(Quu_r), axis=1)
+                           - jnp.abs(jnp.diagonal(Quu_r)))
+                lam_min = jnp.min(jnp.diagonal(Quu_r) - offdiag)
+            mu_t = reg + jnp.maximum(-lam_min, 0.0) + 1e-6
             Quu_reg = Quu_r + mu_t * jnp.eye(m, dtype=us.dtype)
             L, lower = jax.scipy.linalg.cho_factor(Quu_reg)
             diag_ok = jnp.all(jnp.isfinite(L))
