@@ -12,6 +12,7 @@ from quadruped_springs_tpu.control.interfaces import ACTION_MODES, MOTOR_MODES
 from quadruped_springs_tpu.env.randomizers import RANDOMIZER_MODES
 from quadruped_springs_tpu.sensors.sensors import SUITES
 from quadruped_springs_tpu.tasks.tasks import TASKS
+from quadruped_springs_tpu.utils.camera import CAMERA_MODES
 
 REGISTRIES = {
     "task_env": sorted(TASKS),
@@ -19,6 +20,7 @@ REGISTRIES = {
     "motor_control_mode": list(MOTOR_MODES),
     "action_space_mode": list(ACTION_MODES),
     "env_randomizer_mode": sorted(RANDOMIZER_MODES),
+    "camera_mode": sorted(CAMERA_MODES),
 }
 
 
