@@ -4,7 +4,10 @@ The flagship compute path: batched iLQR over the analytic Go1 dynamics
 (BASELINE.json north star). Prints cost trace and apex height of the
 optimized trajectory.
 
-Usage: python examples/run_mpc.py [--cpu] [--batch N]
+Usage: python examples/run_mpc.py [--cpu] [--batch N] [--mppi]
+
+--mppi solves the same problem with the sampling-based MPPI solver
+(solver/mppi.py) instead of iLQR.
 """
 
 import sys
@@ -34,7 +37,13 @@ def main():
     x0 = prob.default_x0()
     u0 = prob.default_warm_start()
 
-    sol = prob.solve(x0, u0)
+    if "--mppi" in sys.argv:
+        from quadruped_springs_tpu.solver.mppi import MPPIConfig
+        sol = prob.solve_mppi(
+            x0, prob.task_warm_start(), jax.random.PRNGKey(0),
+            MPPIConfig(horizon=25, iterations=8, n_samples=32))
+    else:
+        sol = prob.solve(x0, u0)
     print("cost trace:", [f"{c:.2f}" for c in sol.cost_trace])
     zs = sol.xs[:, 2]
     vz = sol.xs[:, 9]

@@ -23,7 +23,7 @@ from quadruped_springs_tpu.env import randomizers as rnd
 from quadruped_springs_tpu.models import dynamics as dyn
 from quadruped_springs_tpu.models.go1_params import go1_config
 from quadruped_springs_tpu.ops import actuation as act
-from quadruped_springs_tpu.solver import ilqr
+from quadruped_springs_tpu.solver import ilqr, mppi
 from quadruped_springs_tpu.tasks import costs as task_costs
 
 N_STATE = 37
@@ -118,6 +118,23 @@ class MPCProblem:
         dyn_fn = lambda x, u: self.dynamics(x, u, scenario)
         return ilqr.solve(dyn_fn, self.stage_cost, self.terminal_cost,
                           x0, u_init, self.ilqr_config)
+
+    @partial(jax.jit, static_argnums=(0, 4))
+    def solve_mppi(self, x0: jnp.ndarray, u_init: jnp.ndarray, key,
+                   config: mppi.MPPIConfig | None = None,
+                   scenario: rnd.ScenarioParams | None = None):
+        """Sampling-based solve (solver/mppi.py) on the same dynamics/costs.
+
+        MPPI needs no derivatives, so it plans on this problem's dynamics
+        as-is — including through clips/one-sided springs — and batches the
+        same way as iLQR (vmap over scenarios, shard_map over meshes).
+        """
+        if config is None:
+            config = mppi.MPPIConfig(horizon=self.config.horizon,
+                                     iterations=self.config.iterations)
+        dyn_fn = lambda x, u: self.dynamics(x, u, scenario)
+        return mppi.solve(dyn_fn, self.stage_cost, self.terminal_cost,
+                          x0, u_init, key, config)
 
     @partial(jax.jit, static_argnums=0)
     def solve_batch(self, x0s: jnp.ndarray, u_inits: jnp.ndarray,

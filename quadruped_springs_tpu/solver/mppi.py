@@ -1,0 +1,112 @@
+"""MPPI (model-predictive path integral) solver — sampling-based MPC.
+
+Complement to the gradient-based iLQR (solver/ilqr.py): no linearization,
+no backward recursion — each iteration rolls K perturbed control sequences
+forward and re-weights them by exponentiated cost (information-theoretic
+MPC, Williams et al. 2017). This maps perfectly onto TPU: the K×B rollout
+batch is one big lane-parallel scan, and the non-smooth pieces that hurt
+Newton-type methods (one-sided springs, torque clips, stiff contact) cost
+nothing here, so MPPI can plan directly on the *execution-rate stiff*
+dynamics rather than iLQR's relaxed planner model.
+
+Shares the dynamics/cost plumbing of MPCProblem (solver/mpc.py); see
+MPCProblem.solve_mppi.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@dataclasses.dataclass(frozen=True)
+class MPPIConfig:
+    horizon: int = 50
+    iterations: int = 10
+    n_samples: int = 64          # K rollouts per iteration
+    sigma: float = 0.3           # exploration std in action units
+    sigma_decay: float = 0.93    # annealing: σ_i = σ·decay^i (coarse→fine)
+    temperature: float = 0.05    # λ: softmax sharpness over costs
+    smooth: bool = True          # time-correlated (integrated) noise
+    elite_frac: float = 0.5      # weights computed over the best half only
+    u_min: float = -1.0
+    u_max: float = 1.0
+
+
+@struct.dataclass
+class MPPISolution:
+    us: jnp.ndarray          # (H, m) updated control sequence
+    xs: jnp.ndarray          # (H+1, n) rollout of us
+    cost: jnp.ndarray        # () cost of us
+    cost_trace: jnp.ndarray  # (iterations,)
+
+
+def _total_cost(stage_cost, terminal_cost, xs, us):
+    ts = jnp.arange(us.shape[0])
+    return (jnp.sum(jax.vmap(stage_cost)(xs[:-1], us, ts))
+            + terminal_cost(xs[-1]))
+
+
+def solve(dynamics: Callable, stage_cost: Callable, terminal_cost: Callable,
+          x0: jnp.ndarray, u_init: jnp.ndarray, key: jax.Array,
+          config: MPPIConfig = MPPIConfig()) -> MPPISolution:
+    """Minimize Σ l(x,u,t) + lf(x_H) by iterated importance-weighted sampling.
+
+    Args mirror ilqr.solve plus an explicit PRNG key (MPPI is stochastic).
+    """
+    H, m = u_init.shape
+    clip_u = lambda u: jnp.clip(u, config.u_min, config.u_max)
+    K = config.n_samples
+    n_elite = max(int(K * config.elite_frac), 1)
+
+    def rollout(us):
+        def f(x, u):
+            x2 = dynamics(x, u)
+            return x2, x2
+        _, xs_tail = jax.lax.scan(f, x0, us)
+        xs = jnp.concatenate([x0[None], xs_tail], axis=0)
+        return xs, _total_cost(stage_cost, terminal_cost, xs, us)
+
+    def iteration(carry, inp):
+        k, sigma_i = inp
+        us, cost = carry
+        eps = sigma_i * jax.random.normal(k, (K, H, m), us.dtype)
+        if config.smooth:
+            # first-order low-pass along time: correlated exploration keeps
+            # sampled torque profiles physically plausible (the reference
+            # filters policy actions with a 3 Hz Butterworth for the same
+            # reason, utils/action_filter.py).
+            def lp(c, e):
+                c2 = 0.7 * c + 0.3 * e
+                return c2, c2
+            _, eps = jax.lax.scan(lp, jnp.zeros((K, m), us.dtype),
+                                  jnp.swapaxes(eps, 0, 1))
+            eps = jnp.swapaxes(eps, 0, 1) * 2.2  # restore marginal std
+        cand = clip_u(us[None] + eps)
+        _, costs = jax.vmap(rollout)(cand)
+        costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
+        # elite-truncated importance weights (robust to diverged samples)
+        kth = jnp.sort(costs)[n_elite - 1]
+        beta = jnp.min(costs)
+        w = jnp.exp(-(costs - beta) / config.temperature)
+        w = jnp.where(costs <= kth, w, 0.0)
+        w = w / jnp.maximum(jnp.sum(w), 1e-12)
+        us_new = clip_u(jnp.einsum("k,khm->hm", w, cand))
+        _, cost_new = rollout(us_new)
+        better = cost_new < cost
+        us2 = jnp.where(better, us_new, us)
+        cost2 = jnp.where(better, cost_new, cost)
+        return (us2, cost2), cost2
+
+    us0 = clip_u(u_init)
+    xs0, cost0 = rollout(us0)
+    keys = jax.random.split(key, config.iterations)
+    sigmas = config.sigma * config.sigma_decay ** jnp.arange(
+        config.iterations, dtype=x0.dtype)
+    (us, cost), trace = jax.lax.scan(iteration, (us0, cost0), (keys, sigmas))
+    xs, _ = rollout(us)
+    return MPPISolution(us=us, xs=xs, cost=cost, cost_trace=trace)

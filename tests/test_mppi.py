@@ -1,0 +1,48 @@
+"""MPPI solver tests: analytic sanity + the Go1 jump smoke path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quadruped_springs_tpu.solver import mppi
+from quadruped_springs_tpu.solver.mpc import MPCConfig, MPCProblem
+
+
+def test_mppi_double_integrator_reaches_target():
+    dt = 0.1
+    A = jnp.array([[1.0, dt], [0.0, 1.0]])
+    B = jnp.array([[0.0], [dt]])
+    dynamics = lambda x, u: A @ x + B @ u
+    stage = lambda x, u, t: 0.01 * jnp.sum(u ** 2)
+    terminal = lambda x: jnp.sum((x - jnp.array([1.0, 0.0])) ** 2)
+
+    H = 20
+    cfg = mppi.MPPIConfig(horizon=H, iterations=30, n_samples=64,
+                          sigma=0.4, temperature=0.05, smooth=False)
+    sol = mppi.solve(dynamics, stage, terminal, jnp.zeros(2),
+                     jnp.zeros((H, 1)), jax.random.PRNGKey(0), cfg)
+    # within 10% of the converged gradient-based optimum (iLQR: 0.1180)
+    assert float(sol.cost) < 0.118 * 1.10, float(sol.cost)
+    # monotone: iterations only accept improvements
+    trace = np.asarray(sol.cost_trace)
+    assert np.all(np.diff(trace) <= 1e-6)
+    assert float(jnp.abs(sol.us).max()) <= 1.0 + 1e-6
+
+
+def test_mppi_go1_jump_improves_over_warm_start():
+    prob = MPCProblem(MPCConfig(task="JUMPING_IN_PLACE", horizon=20,
+                                iterations=6, n_alphas=2))
+    x0 = prob.default_x0()
+    u0 = prob.task_warm_start()
+    cfg = mppi.MPPIConfig(horizon=20, iterations=6, n_samples=16, sigma=0.2)
+    sol = prob.solve_mppi(x0, u0, jax.random.PRNGKey(1), cfg)
+    assert bool(jnp.all(jnp.isfinite(sol.us)))
+    trace = np.asarray(sol.cost_trace)
+    assert np.all(np.diff(trace) <= 1e-5)
+    # improves on the warm start's cost
+    assert trace[-1] <= trace[0]
+    # plan still jumps: apex above standing height
+    zs = sol.xs[:, 2]
+    vz = sol.xs[:, 9]
+    apex = float(jnp.max(zs + jnp.maximum(vz, 0.0) ** 2 / (2 * 9.81)))
+    assert apex > 0.36, apex
