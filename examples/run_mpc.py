@@ -33,6 +33,8 @@ def main():
         horizon=25,
         iterations=6,
         n_alphas=6,
+        backward="parallel" if "--parallel-riccati" in sys.argv
+        else "sequential",
     ))
     x0 = prob.default_x0()
     u0 = prob.default_warm_start()

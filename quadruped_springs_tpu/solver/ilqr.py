@@ -46,6 +46,103 @@ class ILQRConfig:
     # eigensolver that costs ~2.5x the whole backward scan) or "eig"
     # (exact shift by the most negative eigenvalue).
     pd_shift: str = "gershgorin"
+    # Riccati sweep: "sequential" (lax.scan, per-knot adaptive LM + Tassa
+    # state regularization — the robust default) or "parallel"
+    # (associative-scan parallel-in-time LQT à la Särkkä & García-Fernández
+    # 2021 — O(log H) depth, the framework's sequence parallelism; uses a
+    # control-cost LM shift instead of the per-knot adaptive one).
+    backward: str = "sequential"
+
+
+def _parallel_lqt_backward(A, B, lx, lu, lxx, luu, lux, VxT, VxxT, reg):
+    """Parallel-in-time Riccati via jax.lax.associative_scan (O(log H) depth).
+
+    Solves the per-iteration LQ subproblem
+        min Σ ½δxᵀlxx δx + lxᵀδx + ½δuᵀluu δu + luᵀδu + δuᵀlux δx + terminal
+        s.t. δx' = A δx + B δu
+    by composing conditional-value-function elements (a, b, C, η, J)
+    (Särkkä & García-Fernández 2021, "Temporal parallelization of dynamic
+    programming and linear quadratic control"). Cross terms are removed by
+    the change of variables u = v − luuʳ⁻¹(lux δx + lu); regularization is
+    an LM shift on the control Hessian (reg + Gershgorin(luu)).
+
+    Returns (ks (H,m), Ks (H,m,n), dV=0, ok).
+    """
+    H, n, m = A.shape[0], A.shape[1], B.shape[2]
+    eye_m = jnp.eye(m, dtype=A.dtype)
+    eye_n = jnp.eye(n, dtype=A.dtype)
+
+    # regularized control Hessian (PD by Gershgorin shift)
+    offdiag = (jnp.sum(jnp.abs(luu), axis=-1)
+               - jnp.abs(jnp.diagonal(luu, axis1=-2, axis2=-1)))
+    gersh = jnp.min(jnp.diagonal(luu, axis1=-2, axis2=-1) - offdiag, axis=-1)
+    mu = reg + jnp.maximum(-gersh, 0.0) + 1e-6
+    R = luu + mu[:, None, None] * eye_m
+
+    Rinv_N = jnp.linalg.solve(R, lux)               # (H, m, n)
+    Rinv_r = jnp.linalg.solve(R, lu[..., None])[..., 0]  # (H, m)
+    At = A - jnp.einsum("hab,hbc->hac", B, Rinv_N)  # Ã = A − B R⁻¹ N
+    ct = -jnp.einsum("hab,hb->ha", B, Rinv_r)       # c̃ = −B R⁻¹ r
+    Qt = lxx - jnp.einsum("hca,hcb->hab", lux, Rinv_N)   # Q̃ = Q − NᵀR⁻¹N
+    qt = lx - jnp.einsum("hca,hc->ha", lux, Rinv_r)      # q̃ = q − NᵀR⁻¹r
+    # C = B R⁻¹ Bᵀ computed stably via the solve
+    RinvBt = jnp.linalg.solve(R, B.swapaxes(-1, -2))     # (H, m, n)
+    Ct = jnp.einsum("hab,hbc->hac", B, RinvBt)           # (H, n, n)
+
+    # elements for steps 0..H-1 plus the terminal element
+    a_el = jnp.concatenate([At, jnp.zeros((1, n, n), A.dtype)], axis=0)
+    b_el = jnp.concatenate([ct, jnp.zeros((1, n), A.dtype)], axis=0)
+    C_el = jnp.concatenate([Ct, jnp.zeros((1, n, n), A.dtype)], axis=0)
+    eta_el = jnp.concatenate([-qt, -VxT[None]], axis=0)
+    J_el = jnp.concatenate([Qt, VxxT[None]], axis=0)
+
+    def combine(e_later, e_earlier):
+        """Compose element i = e_earlier (covers [k,l)) with j = e_later
+        (covers [l,r)). Note the argument order: with reverse=True,
+        associative_scan flips the sequence and runs a forward scan, so the
+        accumulated LATER block arrives first."""
+        Ai, bi, Ci, etai, Ji = e_earlier
+        Aj, bj, Cj, etaj, Jj = e_later
+        I_CJ = eye_n + jnp.einsum("...ab,...bc->...ac", Ci, Jj)
+        # X = (I + C_i J_j)⁻¹, applied from the left
+        AjX = jnp.einsum(
+            "...ab,...bc->...ac", Aj,
+            jnp.linalg.solve(I_CJ, jnp.broadcast_to(eye_n, I_CJ.shape)))
+        I_JC = eye_n + jnp.einsum("...ab,...bc->...ac", Jj, Ci)
+        AiT_Y = jnp.einsum(
+            "...ba,...bc->...ac", Ai,
+            jnp.linalg.solve(I_JC, jnp.broadcast_to(eye_n, I_JC.shape)))
+        A_new = jnp.einsum("...ab,...bc->...ac", AjX, Ai)
+        b_new = jnp.einsum("...ab,...b->...a", AjX,
+                           bi + jnp.einsum("...ab,...b->...a", Ci, etaj)) + bj
+        C_new = jnp.einsum("...ab,...bc,...dc->...ad", AjX, Ci, Aj) + Cj
+        eta_new = jnp.einsum(
+            "...ab,...b->...a", AiT_Y,
+            etaj - jnp.einsum("...ab,...b->...a", Jj, bi)) + etai
+        J_new = jnp.einsum("...ab,...bc,...cd->...ad", AiT_Y, Jj, Ai) + Ji
+        return (A_new, b_new, C_new, eta_new, J_new)
+
+    # reverse associative scan: element at index k composes [k..T]
+    elems = (a_el, b_el, C_el, eta_el, J_el)
+    composed = jax.lax.associative_scan(combine, elems, reverse=True)
+    S = composed[4]          # (H+1, n, n): value Hessians S_k
+    eta = composed[3]        # (H+1, n):    value linear terms s_k = −η_k
+    s_lin = -eta
+
+    # per-knot gains from S_{k+1}, s_{k+1}, all in the ORIGINAL (u, A)
+    # coordinates — the deviation dynamics have no affine term, so
+    # Qu = lu + Bᵀs', Qux = lux + BᵀS'A, Quu = R + BᵀS'B. All parallel.
+    S1, s1 = S[1:], s_lin[1:]
+    Quu = R + jnp.einsum("hba,hbc,hcd->had", B, S1, B)
+    rhs_k = jnp.einsum("hba,hb->ha", B, s1) + lu
+    rhs_K = jnp.einsum("hba,hbc,hcd->had", B, S1, A) + lux
+    sol = jnp.linalg.solve(Quu, jnp.concatenate([rhs_k[..., None], rhs_K],
+                                                axis=-1))
+    ks = -sol[..., 0]
+    Ks = -sol[..., 1:]
+    ok = jnp.all(jnp.isfinite(ks)) & jnp.all(jnp.isfinite(Ks))
+    dV = jnp.asarray(0.0, A.dtype)
+    return ks, Ks, dV, ok
 
 
 @struct.dataclass
@@ -111,6 +208,10 @@ def solve(dynamics: Callable, stage_cost: Callable, terminal_cost: Callable,
         lx, lu = l_grads(xs[:-1], us, ts)
         Vx = jax.grad(terminal_cost)(xs[-1])
         Vxx = jax.hessian(terminal_cost)(xs[-1])
+
+        if config.backward == "parallel":
+            return _parallel_lqt_backward(A, B, lx, lu, lxx, luu, lux,
+                                          Vx, Vxx, reg)
 
         # Numerical safety rails for f32 Riccati through stiff contact:
         # value-function clamps keep the recursion inside float range; the

@@ -50,6 +50,9 @@ class MPCConfig:
     time_step: float = 0.001
     iterations: int = 10
     n_alphas: int = 8
+    # Riccati sweep: "sequential" or "parallel" (associative-scan
+    # parallel-in-time — see solver/ilqr.py ILQRConfig.backward).
+    backward: str = "sequential"
     # Planner integration rate: the solver's internal dynamics may integrate
     # coarser than the 1 kHz execution rate. The TPU cost of a solve is
     # dominated by *sequential* substeps (dispatch latency, not FLOPs), so
@@ -86,7 +89,7 @@ class MPCProblem:
             config.task, self.cfg, self.action_dim, config.horizon)
         self.ilqr_config = ilqr.ILQRConfig(
             horizon=config.horizon, iterations=config.iterations,
-            n_alphas=config.n_alphas)
+            n_alphas=config.n_alphas, backward=config.backward)
 
     # -- dynamics: one 100 Hz control knot = action_repeat 1 kHz substeps --
     def dynamics(self, x: jnp.ndarray, u: jnp.ndarray,
