@@ -294,8 +294,14 @@ def contact_forces(model: Go1Model, params: SimParams, p_w, v_w, radii=None):
     phi = radii - p_w[:, 2]                               # penetration depth
     in_contact = phi > 0.0
     phidot = -v_w[:, 2]
-    fn = params.contact_stiffness * phi + params.contact_damping * phidot
-    fn = jnp.where(in_contact, jnp.maximum(fn, 0.0), 0.0)
+    elastic = params.contact_stiffness * phi
+    # Damping clamped to the elastic force: the raw d·φ̇ term spikes on
+    # impact (φ small, φ̇ large) and pumps energy under explicit
+    # integration — measured as a front-leg hopping limit cycle in
+    # no-spring stance (qd_max 4.2 rad/s; 0.8 with the clamp). The clamp
+    # leaves statics (φ̇=0) untouched.
+    damping = jnp.clip(params.contact_damping * phidot, -elastic, elastic)
+    fn = jnp.where(in_contact, jnp.maximum(elastic + damping, 0.0), 0.0)
     vt = v_w[:, :2]
     vt_norm = sp.safe_norm(vt, axis=-1)
     # Coulomb cone, viscous-regularized below slip_vel_tol for stiction.

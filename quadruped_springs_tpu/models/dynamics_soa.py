@@ -410,8 +410,10 @@ def forward_dynamics_soa(model: Go1Model, params, state, tau,
         v_w = m3_vec(R, all_v[i])
         phi = radii[i] - p_w[2]
         inc = phi > 0.0
-        fn = kn * phi + dn * (-v_w[2])
-        fn = jnp.where(inc, jnp.maximum(fn, 0.0), 0.0)
+        elastic = kn * phi
+        # damping clamped to the elastic force (see dynamics.contact_forces)
+        damping = jnp.clip(dn * (-v_w[2]), -elastic, elastic)
+        fn = jnp.where(inc, jnp.maximum(elastic + damping, 0.0), 0.0)
         vt2 = v_w[0] * v_w[0] + v_w[1] * v_w[1]
         vt = jnp.sqrt(jnp.where(vt2 < 1e-12, 1e-12, vt2))
         scale = mu * fn / jnp.maximum(vt, params.slip_vel_tol)

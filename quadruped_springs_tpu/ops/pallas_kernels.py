@@ -99,8 +99,10 @@ def _contact_kernel(phi_ref, vx_ref, vy_ref, vz_ref, mu_ref,
                     fx_ref, fy_ref, fz_ref):
     phi = phi_ref[:]
     in_c = phi > 0.0
-    fn = kn_ref[:] * phi + dn_ref[:] * (-vz_ref[:])
-    fn = jnp.where(in_c, jnp.maximum(fn, 0.0), 0.0)
+    elastic = kn_ref[:] * phi
+    # damping clamped to the elastic force (see dynamics.contact_forces)
+    damping = jnp.clip(dn_ref[:] * (-vz_ref[:]), -elastic, elastic)
+    fn = jnp.where(in_c, jnp.maximum(elastic + damping, 0.0), 0.0)
     vx, vy = vx_ref[:], vy_ref[:]
     vt2 = vx * vx + vy * vy
     vt = jnp.sqrt(jnp.where(vt2 < 1e-12, 1e-12, vt2))
