@@ -1,0 +1,92 @@
+"""Closed-loop (receding-horizon) MPC on the stiff 1 kHz simulator.
+
+The production loop this framework is built for: each 100 Hz control knot,
+solve (or re-warm) the iLQR problem on the relaxed planner model, apply
+the first control to the *stiff execution-rate* simulator, shift the plan.
+Planner/execution model mismatch is absorbed by feedback re-planning.
+
+Usage: python examples/run_closed_loop_mpc.py [--cpu] [--steps N]
+       [--replan-every K]
+"""
+
+import sys
+
+import jax
+
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+from quadruped_springs_tpu.control import interfaces as ci
+from quadruped_springs_tpu.env import randomizers as rnd
+from quadruped_springs_tpu.models import dynamics as dyn
+from quadruped_springs_tpu.ops import actuation as act
+from quadruped_springs_tpu.solver.mpc import (
+    MPCConfig,
+    MPCProblem,
+    state_to_vec,
+    vec_to_state,
+)
+
+
+def main():
+    n_steps = 40
+    if "--steps" in sys.argv:
+        n_steps = int(sys.argv[sys.argv.index("--steps") + 1])
+    replan_every = 5
+    if "--replan-every" in sys.argv:
+        replan_every = int(sys.argv[sys.argv.index("--replan-every") + 1])
+
+    prob = MPCProblem(MPCConfig(task="JUMPING_IN_PLACE", horizon=20,
+                                iterations=4, n_alphas=4))
+    c = prob.cfg
+    scen = rnd.nominal_params(c)
+    model = rnd.model_from_params(scen)
+    exec_params = dyn.default_sim_params(0.001)
+
+    @jax.jit
+    def execute_knot(state, action):
+        """One 100 Hz knot on the stiff simulator (10 x 1 kHz substeps)."""
+        q_des = ci.action_to_command(prob.iface, action)
+
+        def sub(s, _):
+            tau = act.pd_torque(q_des, s.q, s.qd, c.motor_kp, c.motor_kd,
+                                c.torque_limits)
+            tau = tau + act.spring_torque(
+                s.q, s.qd, scen.spring_stiffness, scen.spring_damping,
+                c.spring_rest_angles)
+            s2, _ = dyn.step(model, exec_params, s, tau, c.velocity_limits)
+            return s2, None
+
+        s, _ = jax.lax.scan(sub, state, None, length=10)
+        return s
+
+    state = vec_to_state(prob.default_x0())
+    u_warm = prob.task_warm_start(crouch_knots=6)
+    zs, apex = [], 0.0
+    for t in range(n_steps):
+        x = state_to_vec(state)
+        if t % replan_every == 0:
+            sol = prob.solve(x, u_warm)
+            u_warm = sol.us
+        action = u_warm[0]
+        u_warm = jnp.concatenate([u_warm[1:], u_warm[-1:]], axis=0)
+        state = execute_knot(state, action)
+        z = float(state.pos[2])
+        vz = float(state.lin_vel[2])
+        apex = max(apex, z + max(vz, 0.0) ** 2 / (2 * 9.81))
+        zs.append(z)
+
+    zs = np.asarray(zs)
+    print(f"closed-loop MPC, {n_steps} knots @100 Hz "
+          f"(replan every {replan_every}):")
+    print(f"  executed apex (stiff sim): {apex:.3f} m")
+    print(f"  height range: [{zs.min():.3f}, {zs.max():.3f}] m")
+    print(f"  final height: {zs[-1]:.3f} m, "
+          f"upright: {bool(zs[-1] > 0.15)}")
+
+
+if __name__ == "__main__":
+    main()

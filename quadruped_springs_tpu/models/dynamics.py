@@ -62,6 +62,12 @@ class SimParams:
     joint_limit_stiffness: float = struct.field(pytree_node=False, default=300.0)
     joint_limit_damping: float = struct.field(pytree_node=False, default=3.0)
     on_rack: bool = struct.field(pytree_node=False, default=False)
+    # Clamp |d·φ̇| ≤ k·φ in the contact normal force: required on the stiff
+    # execution model (explicit damping pumps energy at impact — hopping
+    # limit cycle otherwise), unnecessary on the MPC planner's relaxed
+    # contact where it rarely binds but costs ~1.8x solve throughput
+    # through the linearization's fusion schedule.
+    clamp_damping: bool = struct.field(pytree_node=False, default=True)
 
 
 def default_sim_params(dt: float = 0.001, on_rack: bool = False) -> SimParams:
@@ -300,7 +306,9 @@ def contact_forces(model: Go1Model, params: SimParams, p_w, v_w, radii=None):
     # integration — measured as a front-leg hopping limit cycle in
     # no-spring stance (qd_max 4.2 rad/s; 0.8 with the clamp). The clamp
     # leaves statics (φ̇=0) untouched.
-    damping = jnp.clip(params.contact_damping * phidot, -elastic, elastic)
+    damping = params.contact_damping * phidot
+    if params.clamp_damping:
+        damping = jnp.clip(damping, -elastic, elastic)
     fn = jnp.where(in_contact, jnp.maximum(elastic + damping, 0.0), 0.0)
     vt = v_w[:, :2]
     vt_norm = sp.safe_norm(vt, axis=-1)

@@ -412,7 +412,9 @@ def forward_dynamics_soa(model: Go1Model, params, state, tau,
         inc = phi > 0.0
         elastic = kn * phi
         # damping clamped to the elastic force (see dynamics.contact_forces)
-        damping = jnp.clip(dn * (-v_w[2]), -elastic, elastic)
+        damping = dn * (-v_w[2])
+        if params.clamp_damping:
+            damping = jnp.clip(damping, -elastic, elastic)
         fn = jnp.where(inc, jnp.maximum(elastic + damping, 0.0), 0.0)
         vt2 = v_w[0] * v_w[0] + v_w[1] * v_w[1]
         vt = jnp.sqrt(jnp.where(vt2 < 1e-12, 1e-12, vt2))

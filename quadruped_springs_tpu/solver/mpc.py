@@ -84,7 +84,10 @@ class MPCProblem:
         self.sim_params = dyn.default_sim_params(
             knot_dt / config.solver_substeps).replace(
             contact_stiffness=jnp.asarray(config.contact_stiffness),
-            contact_damping=jnp.asarray(config.contact_damping))
+            contact_damping=jnp.asarray(config.contact_damping),
+            # relaxed planner contact doesn't need the impact-damping clamp
+            # (see SimParams.clamp_damping) and solves ~1.8x faster without
+            clamp_damping=False)
         self.stage_cost, self.terminal_cost = task_costs.make_cost(
             config.task, self.cfg, self.action_dim, config.horizon)
         self.ilqr_config = ilqr.ILQRConfig(
