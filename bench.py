@@ -33,7 +33,7 @@ from quadruped_springs_tpu.solver.mppi import MPPIConfig
 
 HORIZON = 50
 ITERATIONS = 10
-BATCH = 256
+BATCH = 1024
 N_SAMPLES = 32
 PER_CHIP_TARGET = 10000.0 / 16.0  # north-star divided across a v5p-16
 
