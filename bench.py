@@ -7,14 +7,20 @@ H=50 on a v5p-16 (16 chips) — i.e. 625 solves/s/chip. vs_baseline is
 measured solves/s/chip divided by that per-chip target.
 
 The headline solver is MPPI (solver/mppi.py): on the identical problem
-batch (H=50, 10 iterations, 256 domain-randomized scenarios) it reaches
-both a HIGHER throughput and a BETTER mean final cost than the iLQR
-solver (measured single-chip: 1100 solves/s at mean cost −71.4 vs
-276 solves/s at −51.0), because sampling needs no 43-tangent
-linearization and no sequential Riccati sweep — rollouts are pure
-lane-parallel scans. Run with --ilqr to benchmark the gradient-based
-solver instead. The reference itself publishes no benchmark numbers
-(BASELINE.md); its simulation runs single-env PyBullet on CPU.
+batch it reaches both a HIGHER throughput and a BETTER mean final cost
+than the iLQR solver, because sampling needs no 43-tangent linearization
+and no sequential Riccati sweep — rollouts are pure lane-parallel scans.
+
+HONEST-REPORTING NOTE: the metric string discloses the planner model via
+MPCConfig.planner_desc. The default benchmark plans on the relaxed
+200 Hz / 4 kN/m planner model that both solvers share (standard MPC
+practice: soft planner, stiff executor — solver/mpc.py MPCConfig);
+`--full-rate` benches planning on the execution-rate model instead
+(10x1 ms substeps, 30 kN/m, damping clamp on — MPCConfig.full_rate()).
+Flags: --ilqr (gradient solver), --full-rate, --cpu.
+
+The reference itself publishes no benchmark numbers (BASELINE.md); its
+simulation runs single-env PyBullet on CPU.
 """
 
 import json
@@ -40,9 +46,11 @@ PER_CHIP_TARGET = 10000.0 / 16.0  # north-star divided across a v5p-16
 
 def main():
     use_ilqr = "--ilqr" in sys.argv
-    prob = MPCProblem(MPCConfig(
-        task="JUMPING_IN_PLACE", enable_springs=True,
-        horizon=HORIZON, iterations=ITERATIONS, n_alphas=8))
+    full_rate = "--full-rate" in sys.argv
+    mk = MPCConfig.full_rate if full_rate else MPCConfig
+    cfg = mk(task="JUMPING_IN_PLACE", enable_springs=True,
+             horizon=HORIZON, iterations=ITERATIONS, n_alphas=8)
+    prob = MPCProblem(cfg)
 
     key = jax.random.PRNGKey(0)
     keys = jax.random.split(key, BATCH)
@@ -78,8 +86,8 @@ def main():
 
     solves_per_s = BATCH / dt
     print(json.dumps({
-        "metric": f"MPC solves/s/chip ({desc}, batch {BATCH}, "
-                  f"domain-randomized)",
+        "metric": f"MPC solves/s/chip ({desc}, {cfg.planner_desc}, "
+                  f"batch {BATCH}, domain-randomized)",
         "value": round(solves_per_s, 2),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / PER_CHIP_TARGET, 4),

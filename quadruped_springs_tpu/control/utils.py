@@ -76,15 +76,18 @@ def settle_robot_by_pd(env, key: jax.Array, steps: int = 1500,
     params = env._scenario_sim_params(state.scenario)
     q_des = cfg.init_joint_angles
 
-    def substep(robot, _):
+    def substep(carry, _):
+        robot, anchor = carry
         tau = act.pd_torque(q_des, robot.q, robot.qd, kp, kd,
                             cfg.torque_limits)
         if cfg.enable_springs:
             tau = tau + act.spring_torque(
                 robot.q, robot.qd, state.scenario.spring_stiffness,
                 state.scenario.spring_damping, cfg.spring_rest_angles)
-        robot2, _ = dyn.step(model, params, robot, tau, cfg.velocity_limits)
-        return robot2, None
+        robot2, info = dyn.step(model, params, robot, tau,
+                                cfg.velocity_limits, foot_anchor=anchor)
+        return (robot2, info["new_anchor"]), None
 
-    robot, _ = jax.lax.scan(substep, state.robot, None, length=steps)
-    return state.replace(robot=robot)
+    (robot, anchor), _ = jax.lax.scan(
+        substep, (state.robot, state.foot_anchor), None, length=steps)
+    return state.replace(robot=robot, foot_anchor=anchor)

@@ -78,7 +78,10 @@ def collect_demo(env: QuadrupedEnv, policy_fn: Callable, key: jax.Array,
         held2 = jnp.where(landed, landing_action, held2)
         rest_i2 = jnp.where(phase2 == PHASE_REST, rest_i + 1, rest_i)
 
-        row = demo_util.demo_row(action, state2.robot,
+        # Record the FILTERED action (what the motors actually tracked) —
+        # get_demonstration_wrapper.py:36-40 records
+        # env.get_last_filtered_action(), not the raw policy output.
+        row = demo_util.demo_row(state2.last_filtered_action, state2.robot,
                                  phase2 >= PHASE_LANDING)
         valid = ~done
         state_keep = jax.tree.map(

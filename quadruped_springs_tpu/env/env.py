@@ -75,6 +75,7 @@ class EnvState:
     task: tk.TaskState
     scenario: rnd.ScenarioParams
     filter_state: af.ButterFilterState
+    foot_anchor: jnp.ndarray            # (4,2) stiction anchors (dynamics)
     last_action: jnp.ndarray            # (action_dim,)
     last_filtered_action: jnp.ndarray   # (action_dim,)
     observed_torques: jnp.ndarray       # (12,) PD-clipped motor torques
@@ -183,11 +184,19 @@ class QuadrupedEnv:
     # reset (quadruped_gym_env.py:278-329)
     # ------------------------------------------------------------------
     @partial(jax.jit, static_argnums=0)
-    def reset(self, key: jax.Array, desired_robot_state: dyn.RobotState | None = None):
+    def reset(self, key: jax.Array, desired_robot_state: dyn.RobotState | None = None,
+              curriculum_level: jnp.ndarray | None = None):
+        """Reset. `curriculum_level` (traced, in [0,1]) overrides the static
+        EnvConfig.curriculum_level — the runtime hook behind the reference's
+        trainer-driven `increase_curriculum_level`
+        (env_randomizer_base.py:83-93, quadruped_gym_env.py:423-425): the
+        trainer raises its level and passes it here per reset, widening the
+        randomization ranges without recompiling."""
         key, k_scen, k_obs = jax.random.split(key, 3)
+        level = (self.config.curriculum_level if curriculum_level is None
+                 else curriculum_level)
         scenario = rnd.sample_scenario(
-            self.cfg, self.config.env_randomizer_mode, k_scen,
-            self.config.curriculum_level)
+            self.cfg, self.config.env_randomizer_mode, k_scen, level)
         model = rnd.model_from_params(scenario)
         params = self._scenario_sim_params(scenario)
 
@@ -204,16 +213,24 @@ class QuadrupedEnv:
         else:
             settle_q_des = ci.reference_to_command(self.iface, self.iface.init_pose)
 
+        # stiction anchors start at the current foot ground positions
+        p_w0, _, _ = dyn.foot_state_world(model, robot)
+        anchor = p_w0[:, :2]
         if desired_robot_state is None:
-            def substep(r, _):
+            def substep(carry, _):
+                r, a = carry
                 tau, _, _ = self._apply_torques(model, scenario, r, settle_q_des)
-                r2, _ = dyn.step(model, params, r, tau, self.cfg.velocity_limits)
-                return r2, None
+                r2, inf = dyn.step(model, params, r, tau,
+                                   self.cfg.velocity_limits, foot_anchor=a)
+                return (r2, inf["new_anchor"]), None
             # settle does NOT advance the sim counter (interface_base.py:197-199)
-            robot, _ = jax.lax.scan(substep, robot, None,
-                                    length=self.config.settling_steps)
+            (robot, anchor), _ = jax.lax.scan(
+                substep, (robot, anchor), None,
+                length=self.config.settling_steps)
         else:
             robot = desired_robot_state
+            p_w0, _, _ = dyn.foot_state_world(model, robot)
+            anchor = p_w0[:, :2]
 
         last_action = ci.command_to_action(self.iface, self.iface.init_pose)
         # prime contact/torque info from one dynamics evaluation
@@ -223,6 +240,7 @@ class QuadrupedEnv:
             task=tk.init_task_state(self._mk_task_ctx0(robot, cinfo)),
             scenario=scenario,
             filter_state=af.filter_reset(self.action_dim, last_action),
+            foot_anchor=anchor,
             last_action=last_action,
             last_filtered_action=last_action,
             observed_torques=jnp.zeros(12),
@@ -255,7 +273,12 @@ class QuadrupedEnv:
     # step (quadruped_gym_env.py:227-256)
     # ------------------------------------------------------------------
     @partial(jax.jit, static_argnums=0)
-    def step(self, state: EnvState, action: jnp.ndarray, kp=None, kd=None):
+    def step(self, state: EnvState, action: jnp.ndarray, kp=None, kd=None,
+             ext_force_world: jnp.ndarray | None = None):
+        """One 100 Hz control step. `ext_force_world` (3,) applies a world-
+        frame perturbation force at the trunk origin during every sub-step —
+        the env-level surface of apply_external_force (quadruped.py:338-343,
+        reference call site quadruped_gym_env.py:215 randomize_step)."""
         model = rnd.model_from_params(state.scenario)
         params = self._scenario_sim_params(state.scenario)
         cfgc = self.config
@@ -268,7 +291,8 @@ class QuadrupedEnv:
         prev = (state.last_filtered_action if cfgc.enable_action_filter
                 else state.last_action)
 
-        def substep(robot, i):
+        def substep(carry, i):
+            robot, anchor = carry
             if cfgc.enable_action_interpolation:
                 frac = (i.astype(jnp.float32) + 1.0) / cfgc.action_repeat
                 a = prev + frac * (curr - prev)
@@ -287,20 +311,27 @@ class QuadrupedEnv:
                         state.scenario.spring_damping, self.cfg.spring_rest_angles)
                 tau = tau_m + tau_s
             robot2, info = dyn.step(model, params, robot, tau,
-                                    self.cfg.velocity_limits)
+                                    self.cfg.velocity_limits,
+                                    ext_force_world=ext_force_world,
+                                    foot_anchor=anchor)
             out = (info["feet_in_contact"], info["foot_forces"],
                    info["invalid_contact"], tau_m, tau_s)
-            return robot2, out
+            return (robot2, info["new_anchor"]), out
 
-        robot, (contacts, forces, invalids, tau_ms, tau_ss) = jax.lax.scan(
-            substep, state.robot, jnp.arange(cfgc.action_repeat))
+        (robot, anchor), (contacts, forces, invalids, tau_ms, tau_ss) = (
+            jax.lax.scan(substep, (state.robot, state.foot_anchor),
+                         jnp.arange(cfgc.action_repeat)))
 
         state = state.replace(
             robot=robot,
+            foot_anchor=anchor,
             filter_state=filt_state,
+            # last_filtered_action is the action actually applied this step
+            # (== raw action when the filter is disabled) — the reference's
+            # get_last_filtered_action(), recorded into demo rows
+            # (get_demonstration_wrapper.py:36-40).
             last_action=action,
-            last_filtered_action=curr if cfgc.enable_action_filter
-            else state.last_filtered_action,
+            last_filtered_action=curr,
             observed_torques=tau_ms[-1],
             spring_torques=tau_ss[-1],
             feet_in_contact=contacts[-1],
@@ -331,6 +362,12 @@ class QuadrupedEnv:
             "max_fwd": task_state.max_forward_distance,
             "feet_forces": state.feet_forces,
             "switched_controller": task_state.switched_controller,
+            # knot-mean motor torque (the control step's torque impulse /
+            # dt) — the physics-fidelity gate compares THIS against the
+            # LCP oracle: instantaneous end-of-knot samples alias the
+            # ~40-150 rad/s PD transients after command switches, whose
+            # phase no two contact solvers share (utils/verification.py).
+            "mean_motor_torque": jnp.mean(tau_ms, axis=0),
         }
         return state, obs, reward, done, info
 

@@ -109,50 +109,85 @@ class LandingWrapper:
         return self.env.reset(key)
 
 
+@struct.dataclass
+class BackflipLandingState:
+    armed: jnp.ndarray  # () bool — v2's one-shot _enable_landing flag
+
+
 class LandingWrapperBackflip:
-    """Backflip autopilot (landing_wrapper_backflip.py:8-81): once the task
-    triggers, drive the fixed take-off action [0,1,-1]*2 until the unwrapped
-    pitch exceeds 5π/8, then hold the landing action until episode end."""
+    """Backflip autopilot. Once the task triggers, drive the fixed take-off
+    action [0,1,-1]*2 until the unwrapped pitch exceeds 5π/8, then the
+    landing phase holds the landing action. Neither reference variant
+    switches motor gains (their decorator is commented out,
+    landing_wrapper_backflip.py:46, landing_wrapper_backflip2.py:46).
+
+    variant="hold" (v1, landing_wrapper_backflip.py:47-52): landing phase
+      loops until episode end; the autopilot can re-trigger.
+    variant="until_grounded" (v2, landing_wrapper_backflip2.py:50,72-83):
+      landing phase exits as soon as the robot stops flying, and the
+      autopilot is one-shot per episode (`_enable_landing`) — carry the
+      BackflipLandingState returned by init_state()/step().
+    """
 
     TAKE_OFF_ACTION = jnp.array([0.0, 1.0, -1.0, 0.0, 1.0, -1.0])
     PITCH_THRESHOLD = 5 * jnp.pi / 8
 
-    def __init__(self, env: QuadrupedEnv):
+    def __init__(self, env: QuadrupedEnv, variant: str = "hold"):
         if env.action_dim != 6:
             raise ValueError("backflip landing wrapper expects SYMMETRIC actions")
+        if variant not in ("hold", "until_grounded"):
+            raise ValueError(f"unknown variant {variant!r}")
         self.env = env
+        self.variant = variant
         self.landing_action = env.get_landing_action()
-        self._landing_gains = (jnp.full(12, LANDING_KP), jnp.full(12, LANDING_KD))
+
+    def init_state(self) -> BackflipLandingState:
+        """v2's per-episode arming flag (landing_wrapper_backflip2.py:82)."""
+        return BackflipLandingState(armed=jnp.asarray(True))
+
+    def _autopilot(self, out: StepOut) -> StepOut:
+        env = self.env
+        from quadruped_springs_tpu.models import spatial as sp
+
+        def pitch(o):
+            return sp.pitch_unwrapped_yxz(
+                o.state.robot.quat, o.state.task.switched_controller)
+
+        def cond_flip(o):
+            return (pitch(o) < self.PITCH_THRESHOLD) & ~o.done
+
+        def body_flip(o):
+            return _pack(env, env.step(o.state, self.TAKE_OFF_ACTION))
+
+        out = jax.lax.while_loop(cond_flip, body_flip, out)
+
+        def body_land(o):
+            return _pack(env, env.step(o.state, self.landing_action))
+
+        if self.variant == "until_grounded":
+            def cond_land(o):
+                flying = ~jnp.any(o.state.feet_in_contact)
+                return flying & ~o.done
+        else:
+            def cond_land(o):
+                return ~o.done
+
+        return jax.lax.while_loop(cond_land, body_land, out)
 
     @partial(jax.jit, static_argnums=0)
-    def step(self, state: EnvState, action: jnp.ndarray):
+    def step(self, state: EnvState, action: jnp.ndarray,
+             wstate: BackflipLandingState | None = None):
+        """One policy step. For variant="until_grounded" pass and re-carry
+        `wstate`; returns (StepOut, new_wstate) then, plain StepOut for v1."""
         env = self.env
         out = _pack(env, env.step(state, action))
-
-        def autopilot(out: StepOut) -> StepOut:
-            from quadruped_springs_tpu.models import spatial as sp
-
-            def pitch(o):
-                return sp.pitch_unwrapped_yxz(
-                    o.state.robot.quat, o.state.task.switched_controller)
-
-            def cond_flip(o):
-                return (pitch(o) < self.PITCH_THRESHOLD) & ~o.done
-
-            def body_flip(o):
-                return _pack(env, env.step(o.state, self.TAKE_OFF_ACTION))
-
-            out = jax.lax.while_loop(cond_flip, body_flip, out)
-
-            def body_land(o):
-                kp, kd = self._landing_gains
-                return _pack(env, env.step(o.state, self.landing_action,
-                                           kp=kp, kd=kd))
-
-            return jax.lax.while_loop(lambda o: ~o.done, body_land, out)
-
-        switched = out.state.task.switched_controller & ~out.done
-        return jax.lax.cond(switched, autopilot, lambda o: o, out)
+        armed = jnp.asarray(True) if wstate is None else wstate.armed
+        switched = out.state.task.switched_controller & ~out.done & armed
+        out2 = jax.lax.cond(switched, self._autopilot, lambda o: o, out)
+        if self.variant == "until_grounded":
+            new_w = BackflipLandingState(armed=armed & ~switched)
+            return out2, new_w
+        return out2
 
     def reset(self, key):
         return self.env.reset(key)
@@ -213,30 +248,85 @@ class LandingWrapperContinuous:
         return self.env.reset(key)
 
 
+@struct.dataclass
+class GoToRestState:
+    h_prev: jnp.ndarray  # () previous control step's base height
+
+
 class GoToRestWrapper:
-    """After the jump has landed (feet down + controller switched), ramp the
-    action from the landing action to the init action (go_to_rest_wrapper.py:
-    8-95; ramp duration 1.0 s with springs, 0.3 s without)."""
+    """After the jump has landed, ramp the action to the init pose
+    (go_to_rest_wrapper.py:8-95; ramp 1.0 s with springs, 0.3 s without).
+
+    The per-step trigger `rest_condition` mirrors go_to_rest_wrapper.py:89-95:
+    controller has switched (a jump happened) AND all four feet are in
+    contact AND the base height rose since the previous control step (the
+    post-impact rebound — "stopped falling"). step() carries GoToRestState
+    (the previous height) and runs the rest phase via lax.cond when the
+    condition fires. The rest phase uses the temporary soft-gain switch of
+    go_to_rest_wrapper.py:22-41 (kp=60; kd=0.8 springs / 1.5 without).
+    """
 
     def __init__(self, env: QuadrupedEnv):
         self.env = env
-        self.duration = 1.0 if env.config.enable_springs else 0.3
+        springs = env.config.enable_springs
+        self.duration = 1.0 if springs else 0.3
         self.n_ramp = max(int(self.duration / env.env_time_step), 1)
         self.target_action = env.get_init_action()
+        self._rest_gains = (jnp.full(12, 60.0),
+                            jnp.full(12, 0.8 if springs else 1.5))
+
+    def init_state(self, state: EnvState) -> GoToRestState:
+        return GoToRestState(h_prev=state.robot.pos[2])
+
+    def rest_condition(self, h_prev: jnp.ndarray, out: StepOut) -> jnp.ndarray:
+        """go_to_rest_wrapper.py:89-95 — jumped + grounded + height rising."""
+        grounded = jnp.all(out.state.feet_in_contact)
+        has_jumped = out.state.task.switched_controller
+        stopped_landing = (out.state.robot.pos[2] - h_prev) > 0
+        return has_jumped & grounded & stopped_landing
 
     @partial(jax.jit, static_argnums=0)
-    def rest_phase(self, state: EnvState, start_action: jnp.ndarray):
-        """Drive the ramp then hold until episode end. Returns final StepOut."""
+    def step(self, state: EnvState, wstate: GoToRestState,
+             action: jnp.ndarray):
+        """One policy step with the rest trigger; returns (StepOut, wstate)."""
         env = self.env
-        out = _pack(env, env.step(state, start_action))
+        out = _pack(env, env.step(state, action))
+        trigger = self.rest_condition(wstate.h_prev, out) & ~out.done
 
-        def body(i, o):
+        def to_rest(o: StepOut) -> StepOut:
+            from quadruped_springs_tpu.control import interfaces as ci
+            start = ci.command_to_action(env.iface, o.state.robot.q)
+            return self.rest_phase(o.state, start, _pre=o)
+
+        out2 = jax.lax.cond(trigger, to_rest, lambda o: o, out)
+        return out2, GoToRestState(h_prev=out2.state.robot.pos[2])
+
+    @partial(jax.jit, static_argnums=0)
+    def rest_phase(self, state: EnvState, start_action: jnp.ndarray,
+                   _pre: StepOut | None = None):
+        """Ramp start→init action over the duration, then hold the init
+        action until episode end (the reference loops `while not done`,
+        go_to_rest_wrapper.py:74-78). Returns the final StepOut."""
+        env = self.env
+        kp, kd = self._rest_gains
+        if _pre is None:
+            out = _pack(env, env.step(state, start_action, kp=kp, kd=kd))
+        else:
+            out = _pre
+
+        def body_ramp(i, o):
             frac = jnp.minimum((i + 1.0) / self.n_ramp, 1.0)
             a = start_action * (1 - frac) + frac * self.target_action
-            nxt = _pack(env, env.step(o.state, a))
+            nxt = _pack(env, env.step(o.state, a, kp=kp, kd=kd))
             return jax.tree.map(lambda x, y: jnp.where(o.done, x, y), o, nxt)
 
-        return jax.lax.fori_loop(0, self.n_ramp, body, out)
+        out = jax.lax.fori_loop(0, self.n_ramp, body_ramp, out)
+
+        def body_hold(o):
+            return _pack(env, env.step(o.state, self.target_action,
+                                       kp=kp, kd=kd))
+
+        return jax.lax.while_loop(lambda o: ~o.done, body_hold, out)
 
 
 def episode_metrics(rewards, infos):

@@ -68,14 +68,37 @@ class SimParams:
     # contact where it rarely binds but costs ~1.8x solve throughput
     # through the linearization's fusion schedule.
     clamp_damping: bool = struct.field(pytree_node=False, default=True)
+    # Tangential (stiction) anchor springs for the FEET: Coulomb friction
+    # with a per-foot anchor point (Cundall spring / bristle model). The
+    # viscous-regularized cone alone lets a PD-held stance CREEP (~4 cm/s
+    # measured vs the rigid-LCP oracle, which sticks like PyBullet); the
+    # anchor spring holds static loads with a ~1 mm displacement instead.
+    # Active only when a foot_anchor state is threaded through step()
+    # (the env execution path does; the MPC planner keeps the cheaper
+    # memoryless model).
+    tangential_stiffness: jnp.ndarray = None  # N/m
+    tangential_damping: jnp.ndarray = None    # N s/m
 
 
 def default_sim_params(dt: float = 0.001, on_rack: bool = False) -> SimParams:
+    # Constants tuned against the rigid-LCP oracle (scripts/tune_contact.py
+    # sweep vs utils/lcp_oracle.py traces): stiffer = closer to PyBullet's
+    # rigid contact (launch-load sink F/kn is the dominant torque-parity
+    # error), bounded by explicit-integration stability at the 0.06 kg foot
+    # link: dt*sqrt(k/m) < 2 -> k < 240 kN/m; dt*c/m < 2 -> c < 120.
+    #   kn=180k: dt*w = 1.73, zeta(normal, c=100) = 0.48
+    #   kt=120k: dt*w = 1.41, zeta(tangential, c=60) = 0.35
+    # Measured parity vs the oracle (JIP trace): settle 1.0%, crouch 3.1%,
+    # launch 3.0%, flight 0.4% knot-mean torque deviation; apex +4.5 mm.
+    # (Round-1 values kn=30k/dn=600 had dn unstable at the foot scale —
+    # 112 Hz chatter that rectified into a 4 cm/s stance creep.)
     return SimParams(
         dt=dt,
-        contact_stiffness=jnp.asarray(30000.0),
-        contact_damping=jnp.asarray(600.0),
+        contact_stiffness=jnp.asarray(180000.0),
+        contact_damping=jnp.asarray(100.0),
         friction=jnp.asarray(1.0),  # quadruped.py:670-676 sets mu=1.0
+        tangential_stiffness=jnp.asarray(120000.0),
+        tangential_damping=jnp.asarray(60.0),
         on_rack=on_rack,
     )
 
@@ -288,12 +311,23 @@ def foot_state_world(model: Go1Model, state: RobotState, fk=None):
     return p_w[:4], v_w[:4], fk
 
 
-def contact_forces(model: Go1Model, params: SimParams, p_w, v_w, radii=None):
-    """Compliant normal + regularized Coulomb friction at contact sites.
+def contact_forces(model: Go1Model, params: SimParams, p_w, v_w, radii=None,
+                   foot_anchor=None):
+    """Compliant normal + Coulomb friction at contact sites.
 
-    Returns (N,3) world forces and (N,) normal force magnitudes (sites [0:4]
-    are the feetNormalForces / feetInContactBool surface of GetContactInfo,
-    quadruped.py:224-258).
+    Tangential friction:
+      * default (foot_anchor=None): viscous-regularized cone — memoryless,
+        cheap, used by the MPC planner model.
+      * with foot_anchor (4,2): feet get anchor-spring stiction (Cundall /
+        bristle): f_t = -kt (p - a) - ct v_t projected onto the friction
+        cone, anchor sliding to stay consistent on the cone boundary — true
+        static friction like PyBullet's LCP (holds stance without creep).
+        Knee/trunk bumper sites keep the viscous model.
+
+    Returns (f_world (N,3), fn (N,), in_contact (N,), new_anchor) —
+    new_anchor is None when foot_anchor is None. Sites [0:4] are the
+    feetNormalForces / feetInContactBool surface of GetContactInfo
+    (quadruped.py:224-258).
     """
     if radii is None:
         radii = model.foot_radius
@@ -315,8 +349,29 @@ def contact_forces(model: Go1Model, params: SimParams, p_w, v_w, radii=None):
     # Coulomb cone, viscous-regularized below slip_vel_tol for stiction.
     scale = params.friction * fn / jnp.maximum(vt_norm, params.slip_vel_tol)
     ft = -scale[:, None] * vt
+    new_anchor = None
+    if foot_anchor is not None:
+        kt = params.tangential_stiffness
+        ct = params.tangential_damping
+        p_xy = p_w[:4, :2]
+        f_trial = -kt * (p_xy - foot_anchor) - ct * v_w[:4, :2]
+        f_norm = sp.safe_norm(f_trial, axis=-1)
+        fmax = params.friction * fn[:4]
+        clip_scale = jnp.minimum(1.0, fmax / jnp.maximum(f_norm, 1e-9))
+        f_foot = f_trial * clip_scale[:, None]
+        # anchor consistency: inside the cone it stays put; on the boundary
+        # it slides so the SPRING term alone reproduces the clipped force
+        # (damping is recomputed fresh each step — folding it into the
+        # anchor ratchets the anchor along the motion)
+        a_slid = p_xy + f_foot / kt
+        new_anchor = jnp.where((clip_scale < 1.0)[:, None], a_slid,
+                               foot_anchor)
+        # a foot out of contact re-anchors at its current position
+        new_anchor = jnp.where(in_contact[:4, None], new_anchor, p_xy)
+        f_foot = jnp.where(in_contact[:4, None], f_foot, 0.0)
+        ft = ft.at[:4].set(f_foot)
     f_world = jnp.concatenate([ft, fn[:, None]], axis=-1)
-    return f_world, fn, in_contact
+    return f_world, fn, in_contact, new_anchor
 
 
 def _generalized_contact_force(model, fk, s, R, f_world):
@@ -358,7 +413,8 @@ def _default_impl() -> str:
 
 def forward_dynamics(model: Go1Model, params: SimParams, state: RobotState,
                      tau: jnp.ndarray, ext_force_world: jnp.ndarray | None = None,
-                     impl: str | None = None):
+                     impl: str | None = None,
+                     foot_anchor: jnp.ndarray | None = None):
     """One evaluation of the equations of motion.
 
     Args:
@@ -368,6 +424,8 @@ def forward_dynamics(model: Go1Model, params: SimParams, state: RobotState,
       impl: "soa" (scalarized TPU hot path), "ref" (this module's
         structured-array implementation, the readable reference/oracle),
         or None = per-backend default (see _default_impl).
+      foot_anchor: optional (4,2) world-xy stiction anchors (see
+        contact_forces); when given, info carries "new_anchor".
     Returns:
       (a0(6), qdd(12), contact info dict)
     """
@@ -376,7 +434,7 @@ def forward_dynamics(model: Go1Model, params: SimParams, state: RobotState,
     if impl == "soa":
         from quadruped_springs_tpu.models import dynamics_soa
         return dynamics_soa.forward_dynamics_soa(
-            model, params, state, tau, ext_force_world)
+            model, params, state, tau, ext_force_world, foot_anchor)
     R = sp.quat_to_mat(state.quat)
     w_b = R.T @ state.ang_vel
     v_b = R.T @ state.lin_vel
@@ -386,7 +444,8 @@ def forward_dynamics(model: Go1Model, params: SimParams, state: RobotState,
     h = bias_forces(model, R, u, fk, s)
 
     p_w, v_w, radii, _ = site_state_world(model, state, fk)
-    f_world, fn, in_contact = contact_forces(model, params, p_w, v_w, radii)
+    f_world, fn, in_contact, new_anchor = contact_forces(
+        model, params, p_w, v_w, radii, foot_anchor)
     f_base_c, tau_c = _generalized_contact_force(model, fk, s, R, f_world)
 
     # joint-limit penalty torques (PyBullet enforces URDF limits)
@@ -422,19 +481,26 @@ def forward_dynamics(model: Go1Model, params: SimParams, state: RobotState,
         # non-foot ground contact = the invalid-contact termination surface
         "invalid_contact": jnp.any(in_contact[4:]),
     }
+    if new_anchor is not None:
+        info["new_anchor"] = new_anchor
     return a0, qdd, info
 
 
 def step(model: Go1Model, params: SimParams, state: RobotState,
          tau: jnp.ndarray, velocity_limits: jnp.ndarray,
-         ext_force_world: jnp.ndarray | None = None):
+         ext_force_world: jnp.ndarray | None = None,
+         foot_anchor: jnp.ndarray | None = None):
     """Semi-implicit Euler step at params.dt (1 kHz default).
 
     Mirrors the reference sim-step semantics: torques applied, then
     pybullet.stepSimulation (quadruped_gym_env.py:218-221); joint velocity
-    clamped at the configured max (quadruped.py:678-683).
+    clamped at the configured max (quadruped.py:678-683). With
+    `foot_anchor` (4,2) the feet use anchor-spring stiction (see
+    contact_forces) and info["new_anchor"] carries the updated anchors.
     """
-    a0, qdd, info = forward_dynamics(model, params, state, tau, ext_force_world)
+    a0, qdd, info = forward_dynamics(model, params, state, tau,
+                                     ext_force_world,
+                                     foot_anchor=foot_anchor)
     dt = params.dt
     R = sp.quat_to_mat(state.quat)
     w_b = R.T @ state.ang_vel + dt * a0[:3]

@@ -299,8 +299,10 @@ REAL_UPPER3 = (1.0471975512, 2.96705972839, -0.837758040957)
 
 
 def forward_dynamics_soa(model: Go1Model, params, state, tau,
-                         ext_force_world=None):
-    """Scalarized equivalent of dynamics.forward_dynamics (same outputs)."""
+                         ext_force_world=None, foot_anchor=None):
+    """Scalarized equivalent of dynamics.forward_dynamics (same outputs,
+    incl. the optional (4,2) foot_anchor stiction state -> info["new_anchor"]
+    — see dynamics.contact_forces)."""
     legs_bodies, trunk_I = _model_scalars(model)
     R = quat_to_m3(state.quat)
     w_b = m3_T_vec(R, tuple(state.ang_vel[i] for i in range(3)))
@@ -405,6 +407,7 @@ def forward_dynamics_soa(model: Go1Model, params, state, tau,
     f_world = []
     fn_list = []
     in_contact = []
+    new_anchor = [] if foot_anchor is not None else None
     for i in range(12):
         p_w = v3_add(pos, m3_vec(R, all_p[i]))
         v_w = m3_vec(R, all_v[i])
@@ -416,10 +419,30 @@ def forward_dynamics_soa(model: Go1Model, params, state, tau,
         if params.clamp_damping:
             damping = jnp.clip(damping, -elastic, elastic)
         fn = jnp.where(inc, jnp.maximum(elastic + damping, 0.0), 0.0)
-        vt2 = v_w[0] * v_w[0] + v_w[1] * v_w[1]
-        vt = jnp.sqrt(jnp.where(vt2 < 1e-12, 1e-12, vt2))
-        scale = mu * fn / jnp.maximum(vt, params.slip_vel_tol)
-        f_world.append((-scale * v_w[0], -scale * v_w[1], fn))
+        if foot_anchor is not None and i < 4:
+            # anchor-spring stiction (see dynamics.contact_forces)
+            kt = params.tangential_stiffness
+            ct = params.tangential_damping
+            ax, ay = foot_anchor[i, 0], foot_anchor[i, 1]
+            fx_t = -kt * (p_w[0] - ax) - ct * v_w[0]
+            fy_t = -kt * (p_w[1] - ay) - ct * v_w[1]
+            f2 = fx_t * fx_t + fy_t * fy_t
+            f_norm = jnp.sqrt(jnp.where(f2 < 1e-18, 1e-18, f2))
+            fmax = mu * fn
+            cscale = jnp.minimum(1.0, fmax / jnp.maximum(f_norm, 1e-9))
+            fx = jnp.where(inc, fx_t * cscale, 0.0)
+            fy = jnp.where(inc, fy_t * cscale, 0.0)
+            ax2 = jnp.where(inc & (cscale < 1.0), p_w[0] + fx / kt, ax)
+            ay2 = jnp.where(inc & (cscale < 1.0), p_w[1] + fy / kt, ay)
+            ax2 = jnp.where(inc, ax2, p_w[0])
+            ay2 = jnp.where(inc, ay2, p_w[1])
+            new_anchor.append((ax2, ay2))
+            f_world.append((fx, fy, fn))
+        else:
+            vt2 = v_w[0] * v_w[0] + v_w[1] * v_w[1]
+            vt = jnp.sqrt(jnp.where(vt2 < 1e-12, 1e-12, vt2))
+            scale = mu * fn / jnp.maximum(vt, params.slip_vel_tol)
+            f_world.append((-scale * v_w[0], -scale * v_w[1], fn))
         fn_list.append(fn)
         in_contact.append(inc)
 
@@ -535,4 +558,7 @@ def forward_dynamics_soa(model: Go1Model, params, state, tau,
             [jnp.stack(f_world[i]) for i in range(4)]),
         "invalid_contact": jnp.any(jnp.stack(in_contact[4:])),
     }
+    if new_anchor is not None:
+        info["new_anchor"] = jnp.stack(
+            [jnp.stack(a) for a in new_anchor])
     return a0_arr, qdd_arr, info

@@ -58,6 +58,15 @@ class ILQRConfig:
     # 2021 — O(log H) depth, the framework's sequence parallelism; uses a
     # control-cost LM shift instead of the per-knot adaptive one).
     backward: str = "sequential"
+    # Relinearize the dynamics every k-th iteration (lagged Gauss-Newton):
+    # the 43-tangent Jacobian sweep dominates iteration FLOPs, and near
+    # convergence A/B barely change — k=2 re-uses them on odd iterations
+    # (cost gradients are always fresh). k=1 = exact classic iLQR.
+    relin_every: int = 1
+    # lax.scan unroll factor for the backward/forward sweeps: the per-step
+    # bodies are tiny batched matmuls, so TPU scan-iteration overhead is
+    # material; unrolling amortizes it at some compile-time cost.
+    unroll: int = 1
 
 
 def _parallel_lqt_backward(A, B, lx, lu, lxx, luu, lux, VxT, VxxT, reg):
@@ -202,12 +211,31 @@ def solve(dynamics: Callable, stage_cost: Callable, terminal_cost: Callable,
     jac_all = jax.vmap(jax.jacfwd(_dyn_and_cost_grad, argnums=0))
     l_grads = jax.vmap(jax.grad(stage_cost, argnums=(0, 1)))
 
-    def backward(xs, us, reg):
+    def _cost_grad_z(z, t):
+        gx, gu = jax.grad(stage_cost, argnums=(0, 1))(z[:n], z[n:], t)
+        return jnp.concatenate([gx, gu])
+
+    jac_dyn_only = jax.vmap(jax.jacfwd(
+        lambda z: dynamics(z[:n], z[n:])))
+    jac_cost_only = jax.vmap(jax.jacfwd(_cost_grad_z, argnums=0))
+
+    def linearize_dyn(xs, us):
+        zs = jnp.concatenate([xs[:-1], us], axis=-1)
+        J = jac_dyn_only(zs)
+        return J[:, :, :n], J[:, :, n:]
+
+    def backward(xs, us, reg, AB=None):
         ts = jnp.arange(H)
         zs = jnp.concatenate([xs[:-1], us], axis=-1)     # (H, n+m)
-        J_dyn, J_lag = jac_all(zs, ts)
-        A = J_dyn[:, :, :n]                      # (H, n, n)
-        B = J_dyn[:, :, n:]                      # (H, n, m)
+        if AB is None:
+            # fused sweep: dynamics Jacobian + cost Hessian share primals
+            J_dyn, J_lag = jac_all(zs, ts)
+            A = J_dyn[:, :, :n]                  # (H, n, n)
+            B = J_dyn[:, :, n:]                  # (H, n, m)
+        else:
+            # lagged Gauss-Newton: stale A/B, fresh cost derivatives
+            A, B = AB
+            J_lag = jac_cost_only(zs, ts)
         lxx = J_lag[:, :n, :n]
         lux = J_lag[:, n:, :n]
         luu = J_lag[:, n:, n:]
@@ -272,7 +300,8 @@ def solve(dynamics: Callable, stage_cost: Callable, terminal_cost: Callable,
 
         init = (Vx, Vxx, jnp.asarray(0.0, us.dtype), jnp.asarray(True))
         (Vx, Vxx, dV, ok), (ks, Ks) = jax.lax.scan(
-            bstep, init, (A, B, lx, lu, lxx, luu, lux), reverse=True)
+            bstep, init, (A, B, lx, lu, lxx, luu, lux), reverse=True,
+            unroll=config.unroll)
         return ks, Ks, dV, ok
 
     def forward(xs, us, ks, Ks, alpha):
@@ -281,16 +310,15 @@ def solve(dynamics: Callable, stage_cost: Callable, terminal_cost: Callable,
             u = clip_u(u_ref + alpha * k + K @ (x - x_ref))
             x2 = dynamics(x, u)
             return x2, (x2, u)
-        _, (xs_tail, us_new) = jax.lax.scan(fstep, x0, (xs[:-1], us, ks, Ks))
+        _, (xs_tail, us_new) = jax.lax.scan(fstep, x0, (xs[:-1], us, ks, Ks),
+                                            unroll=config.unroll)
         xs_new = jnp.concatenate([x0[None], xs_tail], axis=0)
         cost = _total_cost(stage_cost, terminal_cost, xs_new, us_new)
         return xs_new, us_new, cost
 
     alphas = 1.1 ** (-jnp.arange(config.n_alphas, dtype=x0.dtype) ** 2)
 
-    def iteration(carry, _):
-        xs, us, cost, reg = carry
-        ks, Ks, dV, ok = backward(xs, us, reg)
+    def _accept(xs, us, cost, reg, ks, Ks, ok):
         xs_c, us_c, costs = jax.vmap(lambda a: forward(xs, us, ks, Ks, a))(alphas)
         best = jnp.argmin(costs)
         new_cost = costs[best]
@@ -303,12 +331,35 @@ def solve(dynamics: Callable, stage_cost: Callable, terminal_cost: Callable,
             jnp.maximum(reg / config.reg_factor, config.reg_min),
             jnp.minimum(reg * config.reg_factor * config.reg_factor, config.reg_max),
         )
+        return xs2, us2, cost2, reg2
+
+    def iteration(carry, _):
+        xs, us, cost, reg = carry
+        ks, Ks, dV, ok = backward(xs, us, reg)
+        xs2, us2, cost2, reg2 = _accept(xs, us, cost, reg, ks, Ks, ok)
         return (xs2, us2, cost2, reg2), cost2
+
+    def iteration_lagged(carry, i):
+        xs, us, cost, reg, lin = carry
+        lin = jax.lax.cond(
+            (i % config.relin_every) == 0,
+            lambda: linearize_dyn(xs, us), lambda: lin)
+        ks, Ks, dV, ok = backward(xs, us, reg, AB=lin)
+        xs2, us2, cost2, reg2 = _accept(xs, us, cost, reg, ks, Ks, ok)
+        return (xs2, us2, cost2, reg2, lin), cost2
 
     us0 = clip_u(u_init)
     xs0 = rollout(us0)
     cost0 = _total_cost(stage_cost, terminal_cost, xs0, us0)
     reg0 = jnp.asarray(config.reg_init, x0.dtype)
-    (xs, us, cost, reg), trace = jax.lax.scan(
-        iteration, (xs0, us0, cost0, reg0), None, length=config.iterations)
+    if config.relin_every <= 1:
+        (xs, us, cost, reg), trace = jax.lax.scan(
+            iteration, (xs0, us0, cost0, reg0), None,
+            length=config.iterations)
+    else:
+        lin0 = (jnp.zeros((H, n, n), x0.dtype),
+                jnp.zeros((H, n, m), x0.dtype))
+        (xs, us, cost, reg, _), trace = jax.lax.scan(
+            iteration_lagged, (xs0, us0, cost0, reg0, lin0),
+            jnp.arange(config.iterations))
     return ILQRSolution(us=us, xs=xs, cost=cost, cost_trace=trace, reg=reg)

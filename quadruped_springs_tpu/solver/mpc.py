@@ -53,6 +53,10 @@ class MPCConfig:
     # Riccati sweep: "sequential" or "parallel" (associative-scan
     # parallel-in-time — see solver/ilqr.py ILQRConfig.backward).
     backward: str = "sequential"
+    # iLQR perf knobs (see ILQRConfig): relinearize every k-th iteration /
+    # scan unroll factor for the backward+forward sweeps.
+    relin_every: int = 1
+    ilqr_unroll: int = 1
     # Planner integration rate: the solver's internal dynamics may integrate
     # coarser than the 1 kHz execution rate. The TPU cost of a solve is
     # dominated by *sequential* substeps (dispatch latency, not FLOPs), so
@@ -68,6 +72,31 @@ class MPCConfig:
     # foot+calf), so 5 ms planner steps need d ≲ 40.
     contact_stiffness: float = 4000.0
     contact_damping: float = 40.0
+    # Impact-damping clamp (SimParams.clamp_damping): required on the stiff
+    # execution model, optional on the relaxed planner (off = ~1.8x faster).
+    clamp_damping: bool = False
+
+    @classmethod
+    def full_rate(cls, **kw) -> "MPCConfig":
+        """Execution-rate planner: 10x1 ms substeps, 30 kN/m contact, clamp
+        on — the planner integrates the SAME model the 1 kHz simulator runs
+        (env/env.py), no relaxation. ~5x more sequential substeps per knot;
+        use for sampling solvers (MPPI) or honest full-rate benchmarks.
+        """
+        kw.setdefault("solver_substeps", 10)
+        kw.setdefault("contact_stiffness", 30000.0)
+        kw.setdefault("contact_damping", 600.0)
+        kw.setdefault("clamp_damping", True)
+        return cls(**kw)
+
+    @property
+    def planner_desc(self) -> str:
+        """Honest one-token description of the planner model for bench
+        metric strings, e.g. 'planner@200Hz-4kN' or 'planner@1kHz-30kN'."""
+        hz = int(round(self.solver_substeps / (self.time_step
+                                               * self.action_repeat)))
+        return (f"planner@{hz}Hz-{self.contact_stiffness / 1000:g}kN"
+                + ("" if self.clamp_damping else "-relaxed"))
 
 
 class MPCProblem:
@@ -86,13 +115,15 @@ class MPCProblem:
             contact_stiffness=jnp.asarray(config.contact_stiffness),
             contact_damping=jnp.asarray(config.contact_damping),
             # relaxed planner contact doesn't need the impact-damping clamp
-            # (see SimParams.clamp_damping) and solves ~1.8x faster without
-            clamp_damping=False)
+            # (see SimParams.clamp_damping) and solves ~1.8x faster without;
+            # MPCConfig.full_rate() turns it back on.
+            clamp_damping=config.clamp_damping)
         self.stage_cost, self.terminal_cost = task_costs.make_cost(
             config.task, self.cfg, self.action_dim, config.horizon)
         self.ilqr_config = ilqr.ILQRConfig(
             horizon=config.horizon, iterations=config.iterations,
-            n_alphas=config.n_alphas, backward=config.backward)
+            n_alphas=config.n_alphas, backward=config.backward,
+            relin_every=config.relin_every, unroll=config.ilqr_unroll)
 
     # -- dynamics: one 100 Hz control knot = action_repeat 1 kHz substeps --
     def dynamics(self, x: jnp.ndarray, u: jnp.ndarray,
@@ -125,7 +156,7 @@ class MPCProblem:
         return ilqr.solve(dyn_fn, self.stage_cost, self.terminal_cost,
                           x0, u_init, self.ilqr_config)
 
-    @partial(jax.jit, static_argnums=(0, 4))
+    @partial(jax.jit, static_argnums=(0, 4), static_argnames=("config",))
     def solve_mppi(self, x0: jnp.ndarray, u_init: jnp.ndarray, key,
                    config: mppi.MPPIConfig | None = None,
                    scenario: rnd.ScenarioParams | None = None):
@@ -134,6 +165,9 @@ class MPCProblem:
         MPPI needs no derivatives, so it plans on this problem's dynamics
         as-is — including through clips/one-sided springs — and batches the
         same way as iLQR (vmap over scenarios, shard_map over meshes).
+        The planner model is whatever MPCConfig specifies (default: the
+        relaxed 200 Hz model shared with iLQR; MPCConfig.full_rate() for
+        the execution-rate stiff model).
         """
         if config is None:
             config = mppi.MPPIConfig(horizon=self.config.horizon,

@@ -6,8 +6,11 @@ forward and re-weights them by exponentiated cost (information-theoretic
 MPC, Williams et al. 2017). This maps perfectly onto TPU: the K×B rollout
 batch is one big lane-parallel scan, and the non-smooth pieces that hurt
 Newton-type methods (one-sided springs, torque clips, stiff contact) cost
-nothing here, so MPPI can plan directly on the *execution-rate stiff*
-dynamics rather than iLQR's relaxed planner model.
+nothing here. NOTE: by default MPCProblem.solve_mppi plans on the SAME
+relaxed planner model as iLQR (coarse substeps, soft contact — see
+MPCConfig); to plan on the execution-rate stiff dynamics, build the
+problem with MPCConfig.full_rate(...) — sampling tolerates it (no
+linearization to overflow), it just costs ~5x more sequential substeps.
 
 Shares the dynamics/cost plumbing of MPCProblem (solver/mpc.py); see
 MPCProblem.solve_mppi.
@@ -80,12 +83,19 @@ def solve(dynamics: Callable, stage_cost: Callable, terminal_cost: Callable,
             # sampled torque profiles physically plausible (the reference
             # filters policy actions with a 3 Hz Butterworth for the same
             # reason, utils/action_filter.py).
+            a, b = 0.7, 0.3
             def lp(c, e):
-                c2 = 0.7 * c + 0.3 * e
+                c2 = a * c + b * e
                 return c2, c2
             _, eps = jax.lax.scan(lp, jnp.zeros((K, m), us.dtype),
                                   jnp.swapaxes(eps, 0, 1))
-            eps = jnp.swapaxes(eps, 0, 1) * 2.2  # restore marginal std
+            # Exact per-timestep renormalization: Var(c_t) = b²(1-a^{2(t+1)})
+            # /(1-a²)·σ², so dividing by its sqrt restores marginal std σ_i
+            # at EVERY horizon step (a fixed steady-state factor under-
+            # restores early steps before the filter converges).
+            t = jnp.arange(H, dtype=us.dtype)
+            norm = b * jnp.sqrt((1.0 - a ** (2.0 * (t + 1.0))) / (1.0 - a * a))
+            eps = jnp.swapaxes(eps, 0, 1) / norm[None, :, None]
         cand = clip_u(us[None] + eps)
         _, costs = jax.vmap(rollout)(cand)
         costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)

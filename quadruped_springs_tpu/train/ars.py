@@ -34,6 +34,11 @@ class ARSConfig:
     delta_std: float = 0.025
     episode_steps: int = 200      # 100 Hz control steps (2 s episodes)
     reset_bank_size: int = 16
+    # Trainer-driven curriculum (env_randomizer_base.py:83-93): the level
+    # rises by `curriculum_increase` per learner iteration (clipped to 1),
+    # and the reset bank samples scenarios at the current level — so the
+    # domain-randomization ranges widen as training advances.
+    curriculum_increase: float = 0.0
 
 
 @struct.dataclass
@@ -42,6 +47,7 @@ class ARSState:
     obs_norm: vnorm.RunningNorm
     key: jax.Array
     iteration: jnp.ndarray        # () int32
+    curriculum_level: jnp.ndarray  # () float32 in [0,1]
 
 
 class ARSTrainer:
@@ -55,7 +61,16 @@ class ARSTrainer:
             obs_norm=vnorm.RunningNorm.create(self.env.obs_dim),
             key=key,
             iteration=jnp.asarray(0, jnp.int32),
+            curriculum_level=jnp.asarray(
+                self.env.config.curriculum_level, jnp.float32),
         )
+
+    def increase_curriculum_level(self, ts: ARSState, value) -> ARSState:
+        """Manual level bump mirroring quadruped_gym_env.py:423-425 (the
+        reference trainer calls this as training advances); the automatic
+        path is ARSConfig.curriculum_increase."""
+        return ts.replace(curriculum_level=jnp.clip(
+            ts.curriculum_level + value, 0.0, 1.0))
 
     def _policy(self, W, obs_norm):
         def fn(obs):
@@ -71,17 +86,19 @@ class ARSTrainer:
             k_delta, (cfg.n_directions,) + ts.W.shape) * cfg.delta_std
 
         bank_states, bank_obs = ro.make_reset_bank(
-            self.env, k_bank, cfg.reset_bank_size)
+            self.env, k_bank, cfg.reset_bank_size,
+            curriculum_level=ts.curriculum_level)
 
         def eval_W(W):
-            # one episode per reset-bank entry, mean return
-            rets, _ = ro.episode_returns(
+            # one episode per reset-bank entry; mean return + obs moments
+            rets, info = ro.episode_returns(
                 self.env, self._policy(W, ts.obs_norm),
                 bank_states, bank_obs, cfg.episode_steps)
-            return jnp.mean(rets)
+            return jnp.mean(rets), (info["obs_count"], info["obs_sum"],
+                                    info["obs_sumsq"])
 
-        r_plus = jax.vmap(lambda d: eval_W(ts.W + d))(deltas)
-        r_minus = jax.vmap(lambda d: eval_W(ts.W - d))(deltas)
+        r_plus, mom_p = jax.vmap(lambda d: eval_W(ts.W + d))(deltas)
+        r_minus, mom_m = jax.vmap(lambda d: eval_W(ts.W - d))(deltas)
 
         # top-b directions by max(r+, r-)
         score = jnp.maximum(r_plus, r_minus)
@@ -92,16 +109,25 @@ class ARSTrainer:
             cfg.top_directions * sigma)
         W = ts.W + cfg.step_size / cfg.delta_std * update
 
-        # refresh obs statistics from the bank observations
-        obs_norm = vnorm.update(ts.obs_norm, bank_obs)
+        # refresh obs statistics from ALL rollout observations of this
+        # iteration (flight phases included) — SB3 ARS normalizes with the
+        # full rollout stream, not reset-pose obs only.
+        oc = jnp.sum(mom_p[0]) + jnp.sum(mom_m[0])
+        osum = jnp.sum(mom_p[1], axis=0) + jnp.sum(mom_m[1], axis=0)
+        osq = jnp.sum(mom_p[2], axis=0) + jnp.sum(mom_m[2], axis=0)
+        obs_norm = vnorm.update_from_moments(ts.obs_norm, oc, osum, osq)
 
         metrics = {
             "mean_return": jnp.mean(jnp.concatenate([r_plus, r_minus])),
             "best_return": jnp.max(score),
             "sigma_r": sigma,
+            "curriculum_level": ts.curriculum_level,
         }
-        return ts.replace(W=W, obs_norm=obs_norm, key=key,
-                          iteration=ts.iteration + 1), metrics
+        return ts.replace(
+            W=W, obs_norm=obs_norm, key=key, iteration=ts.iteration + 1,
+            curriculum_level=jnp.clip(
+                ts.curriculum_level + cfg.curriculum_increase, 0.0, 1.0),
+        ), metrics
 
     @partial(jax.jit, static_argnums=(0, 2))
     def evaluate(self, ts: ARSState, n_episodes: int = 8):

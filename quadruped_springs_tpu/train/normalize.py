@@ -39,5 +39,21 @@ def update(rn: RunningNorm, batch: jnp.ndarray) -> RunningNorm:
     return RunningNorm(mean=mean, var=var, count=tot)
 
 
+def update_from_moments(rn: RunningNorm, count, total,
+                        total_sq) -> RunningNorm:
+    """Merge raw moment sums (count (), total (d,), total_sq (d,)) — for
+    streams accumulated inside a scan (rollout observations) where stacking
+    the batch is wasteful."""
+    n = jnp.maximum(count, 1e-8)
+    b_mean = total / n
+    b_var = jnp.maximum(total_sq / n - b_mean**2, 0.0)
+    delta = b_mean - rn.mean
+    tot = rn.count + count
+    mean = rn.mean + delta * count / tot
+    var = (rn.var * rn.count + b_var * count
+           + delta**2 * rn.count * count / tot) / tot
+    return RunningNorm(mean=mean, var=var, count=tot)
+
+
 def normalize(rn: RunningNorm, obs: jnp.ndarray, clip: float = 10.0):
     return jnp.clip((obs - rn.mean) / jnp.sqrt(rn.var + 1e-8), -clip, clip)

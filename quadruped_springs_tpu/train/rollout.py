@@ -25,21 +25,33 @@ import jax.numpy as jnp
 from quadruped_springs_tpu.env.env import QuadrupedEnv
 
 
-def make_reset_bank(env: QuadrupedEnv, key: jax.Array, n: int):
-    """n pre-settled reset states + initial observations (vmapped resets)."""
+def make_reset_bank(env: QuadrupedEnv, key: jax.Array, n: int,
+                    curriculum_level=None):
+    """n pre-settled reset states + initial observations (vmapped resets).
+    `curriculum_level` (scalar, traced) widens the randomization ranges —
+    the trainer-driven curriculum hook (env_randomizer_base.py:83-93)."""
     keys = jax.random.split(key, n)
-    states, obs = jax.vmap(env.reset)(keys)
+    if curriculum_level is None:
+        states, obs = jax.vmap(env.reset)(keys)
+    else:
+        states, obs = jax.vmap(
+            lambda k: env.reset(k, curriculum_level=curriculum_level))(keys)
     return states, obs
 
 
 def episode_returns(env: QuadrupedEnv, policy_fn: Callable, states, obs0,
                     max_steps: int):
     """Roll full episodes from given start states; returns per-episode
-    (return, length, max_height, max_fwd). policy_fn: obs -> action.
+    (return, length, max_height, max_fwd) plus running observation moments
+    (obs_count/obs_sum/obs_sumsq over every *live* step's observation, for
+    VecNormalize-style stats — SB3 ARS normalizes with ALL rollout obs,
+    not just reset-pose obs). policy_fn: obs -> action.
     All leading-dim batched; jit/vmap friendly (done-masked scan)."""
 
+    d = obs0.shape[-1]
+
     def step_one(carry, _):
-        state, obs, done, ret, length, mh, mf = carry
+        state, obs, done, ret, length, mh, mf, oc, osum, osq = carry
         action = policy_fn(obs)
         state2, obs2, r, d2, info = jax.vmap(env.step)(state, action)
         keep = ~done
@@ -47,21 +59,29 @@ def episode_returns(env: QuadrupedEnv, policy_fn: Callable, states, obs0,
         length = length + keep.astype(jnp.int32)
         mh = jnp.maximum(mh, jnp.where(keep, info["max_height"], 0.0))
         mf = jnp.maximum(mf, jnp.where(keep, info["max_fwd"], 0.0))
+        # obs statistics over live steps (flight/stance phases included)
+        live = keep[:, None].astype(obs.dtype)
+        oc = oc + jnp.sum(keep)
+        osum = osum + jnp.sum(obs2 * live, axis=0)
+        osq = osq + jnp.sum(obs2 * obs2 * live, axis=0)
         # freeze the state after done (no reset — episodic semantics)
         state = jax.tree.map(
             lambda a, b: jnp.where(done.reshape((-1,) + (1,) * (a.ndim - 1)), a, b),
             state, state2)
         obs = jnp.where(done[:, None], obs, obs2)
-        return (state, obs, done | d2, ret, length, mh, mf), None
+        return (state, obs, done | d2, ret, length, mh, mf, oc, osum, osq), None
 
     B = obs0.shape[0]
     init = (
         states, obs0, jnp.zeros(B, bool), jnp.zeros(B), jnp.zeros(B, jnp.int32),
         jnp.zeros(B), jnp.zeros(B),
+        jnp.zeros((), obs0.dtype), jnp.zeros(d, obs0.dtype),
+        jnp.zeros(d, obs0.dtype),
     )
     carry, _ = jax.lax.scan(step_one, init, None, length=max_steps)
-    _, _, done, ret, length, mh, mf = carry
-    return ret, {"length": length, "max_height": mh, "max_fwd": mf}
+    _, _, done, ret, length, mh, mf, oc, osum, osq = carry
+    return ret, {"length": length, "max_height": mh, "max_fwd": mf,
+                 "obs_count": oc, "obs_sum": osum, "obs_sumsq": osq}
 
 
 def segment_rollout(env: QuadrupedEnv, action_fn: Callable, states, obs,

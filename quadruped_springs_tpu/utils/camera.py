@@ -27,14 +27,20 @@ class CameraTrack:
     pitch: np.ndarray       # (T,) degrees
 
     def eye(self) -> np.ndarray:
-        """(T,3) camera eye positions from the spherical pose."""
+        """(T,3) camera eye positions from the spherical pose.
+
+        PyBullet convention: negative pitch looks DOWN at the target, so the
+        eye must sit above it. The offset is the camera's forward vector
+        off = d*[cos(p)cos(y), cos(p)sin(y), sin(p)] and eye = target - off;
+        for p<0 this gives eye_z = target_z - d*sin(p) > target_z.
+        """
         yaw = np.deg2rad(self.yaw)
         pitch = np.deg2rad(self.pitch)
         d = self.distance
         off = np.stack([
             d * np.cos(pitch) * np.cos(yaw),
             d * np.cos(pitch) * np.sin(yaw),
-            -d * np.sin(pitch)], axis=-1)
+            d * np.sin(pitch)], axis=-1)
         return self.target - off
 
 

@@ -96,41 +96,121 @@ def export_trajectory(path: str, recs) -> None:
     trajstore.write(path, rows)
 
 
-def plot_rollout(recs, path_prefix: str) -> list:
-    """Matplotlib plot families (heights, joints, torques, contact forces,
-    spring torques) — saved as PNGs, headless."""
+JOINT_TYPES = ("hip", "thigh", "calf")
+
+
+def plot_rollout(recs, path_prefix: str, env: QuadrupedEnv | None = None,
+                 spring_energy=None) -> list:
+    """All ten MonitorState plot families (monitor_state.py:133-341,
+    names per its _generate_figs list): height, angles, motor_torque,
+    motor_true_velocity, feet_normal_forces, elastic_potential_energy,
+    forward_jumping (x-z path), pitch, pitch_rate, actions — saved as
+    PNGs, headless. Pass `env` to draw torque/velocity limit lines and to
+    compute the per-joint-type spring energy."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     valid = np.asarray(recs["valid"])
     t = np.asarray(recs["time"])[valid]
+    q = np.asarray(recs["q"])[valid]
+    qd = np.asarray(recs["qd"])[valid]
+    tau = np.asarray(recs["tau_motor"])[valid]
+    pos = np.asarray(recs["base_pos"])[valid]
+    rpy = np.asarray(recs["base_rpy"])[valid]
+    actions = np.asarray(recs["action"])[valid]
     out = []
 
-    def fig_save(name, plot_fn):
-        fig, ax = plt.subplots(figsize=(8, 4))
-        plot_fn(ax)
-        ax.set_xlabel("time [s]")
-        ax.legend(loc="best", fontsize=7)
+    def fig_save(name, fig):
         p = f"{path_prefix}_{name}.png"
         fig.savefig(p, dpi=100, bbox_inches="tight")
         plt.close(fig)
         out.append(p)
 
-    fig_save("base", lambda ax: (
-        ax.plot(t, np.asarray(recs["base_pos"])[valid, 2], label="z"),
-        ax.plot(t, np.asarray(recs["base_pos"])[valid, 0], label="x"),
-        ax.plot(t, np.asarray(recs["base_rpy"])[valid, 1], label="pitch")))
-    fig_save("joints_FR", lambda ax: [
-        ax.plot(t, np.asarray(recs["q"])[valid, i], label=n)
-        for i, n in enumerate(("hip", "thigh", "calf"))])
-    fig_save("torques_FR", lambda ax: [
-        ax.plot(t, np.asarray(recs["tau_motor"])[valid, i], label=f"motor {n}")
-        for i, n in enumerate(("hip", "thigh", "calf"))] + [
-        ax.plot(t, np.asarray(recs["tau_spring"])[valid, i], "--",
-                label=f"spring {n}")
-        for i, n in enumerate(("hip", "thigh", "calf"))])
-    fig_save("contact", lambda ax: [
-        ax.plot(t, np.asarray(recs["feet_forces"])[valid, i], label=f"foot {i}")
-        for i in range(4)])
+    def per_type_rows(title, data, limits=None, unit=""):
+        """3 stacked axes (hip/thigh/calf), 4 legs per axis, dashed limits
+        (the reference's motor_torques/config/velocities layout)."""
+        fig, axs = plt.subplots(nrows=3, sharex=True, figsize=(8, 7))
+        fig.suptitle(title)
+        for j, (ax, nm) in enumerate(zip(axs, JOINT_TYPES)):
+            ax.plot(t, data[:, j + np.array([0, 3, 6, 9])])
+            if limits is not None:
+                ax.plot(t, np.full_like(t, limits[j]), "k--", lw=0.8)
+                ax.plot(t, np.full_like(t, -limits[j]), "k--", lw=0.8)
+            ax.set_ylabel(f"{nm} {unit}")
+        axs[-1].set_xlabel("time [s]")
+        return fig
+
+    tl = np.asarray(env.cfg.torque_limits)[:3] if env is not None else None
+    vl = np.asarray(env.cfg.velocity_limits)[:3] if env is not None else None
+
+    # 1 height(t)
+    fig, ax = plt.subplots(figsize=(8, 4))
+    ax.plot(t, pos[:, 2])
+    fig.suptitle("height(t)")
+    ax.set_xlabel("time [s]"); ax.set_ylabel("h [m]")
+    fig_save("height", fig)
+    # 2 motor angles
+    fig_save("angles", per_type_rows("motor angles", q, unit="[rad]"))
+    # 3 motor torques (with limits)
+    fig_save("motor_torque",
+             per_type_rows("motor torques", tau, tl, "[Nm]"))
+    # 4 motor velocities (with limits)
+    fig_save("motor_true_velocity",
+             per_type_rows("motor velocities", qd, vl, "[rad/s]"))
+    # 5 feet normal forces
+    fig, ax = plt.subplots(figsize=(8, 4))
+    ax.plot(t, np.asarray(recs["feet_forces"])[valid])
+    fig.suptitle("feet normal forces")
+    ax.set_xlabel("time [s]"); ax.set_ylabel("F [N]")
+    fig_save("feet_normal_forces", fig)
+    # 6 elastic potential energy per joint type
+    fig, axs = plt.subplots(nrows=3, sharex=True, figsize=(8, 7))
+    fig.suptitle("elastic energy")
+    if spring_energy is None and env is not None:
+        e12 = np.asarray(jax.vmap(lambda qi: act.spring_energy(
+            qi, env.cfg.spring_stiffness,
+            env.cfg.spring_rest_angles))(jnp.asarray(q)))
+    else:
+        e12 = None
+    for j, (ax, nm) in enumerate(zip(axs, JOINT_TYPES)):
+        if e12 is not None:
+            ax.plot(t, e12[:, j + np.array([0, 3, 6, 9])])
+        ax.set_ylabel(f"{nm} [J]")
+    axs[-1].set_xlabel("time [s]")
+    fig_save("elastic_potential_energy", fig)
+    # 7 forward jumping x-z path
+    fig, ax = plt.subplots(figsize=(8, 4))
+    ax.plot(pos[:, 0], pos[:, 2])
+    fig.suptitle("Jump forward motion")
+    ax.set_xlabel("x [m]"); ax.set_ylabel("h [m]")
+    fig_save("forward_jumping", fig)
+    # 8 pitch
+    fig, ax = plt.subplots(figsize=(8, 4))
+    ax.plot(t, rpy[:, 1])
+    ax.set_title("pitch"); ax.set_xlabel("time [s]"); ax.set_ylabel("p [rad]")
+    fig_save("pitch", fig)
+    # 9 pitch rate (finite difference of recorded pitch)
+    fig, ax = plt.subplots(figsize=(8, 4))
+    if len(t) > 1:
+        ax.plot(t[1:], np.diff(np.unwrap(rpy[:, 1])) / np.maximum(
+            np.diff(t), 1e-9))
+    ax.set_title("pitch rate"); ax.set_xlabel("time [s]")
+    ax.set_ylabel("dp/dt [rad/s]")
+    fig_save("pitch_rate", fig)
+    # 10 actions 2x3 grid (front / rear x hip/thigh/calf)
+    fig, axs = plt.subplots(nrows=2, ncols=3, sharex=True, sharey=True,
+                            figsize=(9, 5))
+    fig.suptitle("actions")
+    labels = [["hip front", "thigh front", "calf front"],
+              ["hip rear", "thigh rear", "calf rear"]]
+    A = actions.shape[1]
+    for i in range(2):
+        for j in range(3):
+            idx = i * 3 + j
+            if idx < A:
+                axs[i][j].plot(np.arange(actions.shape[0]), actions[:, idx])
+            axs[i][j].set_ylabel(labels[i][j], fontsize=8)
+            axs[i][j].set_xlabel("time steps", fontsize=8)
+    fig_save("actions", fig)
     return out

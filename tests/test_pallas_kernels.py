@@ -55,7 +55,7 @@ def test_fused_contact_matches_reference():
     p_w = jnp.asarray(rng.uniform(-0.05, 0.1, (B, 4, 3)), jnp.float32)
     v_w = jnp.asarray(rng.uniform(-2, 2, (B, 4, 3)), jnp.float32)
 
-    ref_f, ref_fn, _ = jax.vmap(
+    ref_f, ref_fn, _, _ = jax.vmap(
         lambda p, v: dyn.contact_forces(model, params, p, v))(p_w, v_w)
 
     phi = model.foot_radius - p_w[..., 2]

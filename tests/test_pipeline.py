@@ -177,8 +177,22 @@ def test_monitor_records_and_exports(tmp_path):
     monitor.export_trajectory(path, recs)
     from quadruped_springs_tpu.runtime import trajstore
     assert trajstore.read(path).shape[0] == k["steps"]
-    plots = monitor.plot_rollout(recs, str(tmp_path / "plot"))
-    assert len(plots) == 4
+    # all ten MonitorState plot families (monitor_state.py:66-341)
+    plots = monitor.plot_rollout(recs, str(tmp_path / "plot"), env=env)
+    assert len(plots) == 10
+    import os
+    names = {os.path.basename(p) for p in plots}
+    for fam in ("height", "angles", "motor_torque", "motor_true_velocity",
+                "feet_normal_forces", "elastic_potential_energy",
+                "forward_jumping", "pitch", "pitch_rate", "actions"):
+        assert f"plot_{fam}.png" in names, fam
+    for p in plots:
+        assert os.path.getsize(p) > 1000
+    # VideoRec consumer: stick-figure animation from the recording
+    from quadruped_springs_tpu.utils import render
+    vid = render.render_rollout(recs, str(tmp_path / "vid.gif"),
+                                camera_mode="CLASSIC", stride=5)
+    assert os.path.exists(vid) and os.path.getsize(vid) > 1000
 
 
 def test_experiment_save_load_roundtrip(tmp_path):

@@ -29,12 +29,14 @@ def test_record_verify_roundtrip(tmp_path):
 
     report = ver.verify_against_trace(env, path, key)
     assert report["pass"], report
-    assert report["max_torque_dev_frac"] < 1e-5  # deterministic replay
+    # deterministic self-replay: all phase metrics at numerical zero
+    assert report["static_flight_max_dev_frac"] < 1e-5
+    assert report["dynamic_max_dev_frac"] < 1e-5
+    assert report["max_torque_dev_frac_instant"] < 1e-5
 
     # perturbed sim (different spring stiffness) must be detected
     env2 = _env()
-    import dataclasses
-    object.__setattr__  # keep lint quiet
     env2.cfg = env2.cfg.replace(spring_stiffness=jnp.array([40.0, 40.0, 60.0]))
     report2 = ver.verify_against_trace(env2, path, key)
-    assert report2["max_torque_dev_frac"] > report["max_torque_dev_frac"]
+    assert (report2["static_flight_max_dev_frac"]
+            > report["static_flight_max_dev_frac"])
