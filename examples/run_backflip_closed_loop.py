@@ -25,7 +25,7 @@ import jax
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--crouch-knots", type=int, default=14)
+    ap.add_argument("--crouch-knots", type=int, default=8)
     ap.add_argument("--max-steps", type=int, default=60)
     args = ap.parse_args()
     if args.cpu:

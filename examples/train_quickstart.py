@@ -37,6 +37,9 @@ def main():
         observation_space_mode="ARS_BASIC",
         action_space_mode="SYMMETRIC",
         settling_steps=500,
+        # must end inside the 60-step rollout: the sparse task pays its
+        # reward at episode end (robot_tasks.py:31-57)
+        max_ep_len=0.5,
     ))
     trainer = ARSTrainer(env, ARSConfig(
         n_directions=8, top_directions=4, episode_steps=60,

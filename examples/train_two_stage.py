@@ -50,12 +50,15 @@ def main():
     t_start = time.time()
 
     # ---- Stage 1: ARS on the sparse jumping task ------------------------
+    # max_ep_len must sit INSIDE the rollout horizon: the sparse task pays
+    # its reward at episode end (robot_tasks.py:31-57), so episodes that
+    # never finish within episode_steps would give ARS an all-zero signal.
     env = QuadrupedEnv(EnvConfig(
         enable_springs=True, task_env="JUMPING_IN_PLACE",
         observation_space_mode="ARS_BASIC", action_space_mode="SYMMETRIC",
-        settling_steps=600, max_ep_len=2.0))
+        settling_steps=600, max_ep_len=1.0))
     ars = ARSTrainer(env, ARSConfig(
-        n_directions=8, top_directions=4, episode_steps=120,
+        n_directions=8, top_directions=4, episode_steps=110,
         reset_bank_size=8, step_size=0.03, delta_std=0.04))
     ts = ars.init(jax.random.PRNGKey(0))
     curve = []
@@ -70,7 +73,7 @@ def main():
               f"apex {ev['max_height']:.3f} m", flush=True)
     results["ars_curve"] = curve
     first, last = curve[0], curve[-1]
-    results["ars_improved"] = last["eval_return"] > first["eval_return"]
+    results["ars_improved"] = bool(last["eval_return"] > first["eval_return"])
     results["ars_final_apex_m"] = last["eval_max_height"]
 
     # ---- Stage 2: record the demonstration ------------------------------
@@ -104,7 +107,7 @@ def main():
         print(f"[PPO-imitate {i:02d}] reward {m['mean_reward']:+.4f} "
               f"kl {m['approx_kl']:+.4f}", flush=True)
     results["ppo_imitate_curve"] = curve_im
-    results["ppo_imitate_improved"] = (
+    results["ppo_imitate_improved"] = bool(
         np.mean([c["mean_reward"] for c in curve_im[-3:]])
         > np.mean([c["mean_reward"] for c in curve_im[:3]]))
 

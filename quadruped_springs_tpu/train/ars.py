@@ -54,6 +54,21 @@ class ARSTrainer:
     def __init__(self, env: QuadrupedEnv, config: ARSConfig = ARSConfig()):
         self.env = env
         self.config = config
+        # sparse tasks pay their reward at episode END — if episodes can't
+        # finish inside the rollout horizon, every return is zero and ARS
+        # has no signal. Loud foot-gun warning (the reference runs full
+        # 10 s episodes through SB3's episodic VecEnv, so it can't hit
+        # this).
+        ep_horizon_s = config.episode_steps * env.env_time_step
+        if env.config.max_ep_len > ep_horizon_s:
+            import warnings
+            warnings.warn(
+                f"ARS episode_steps={config.episode_steps} "
+                f"({ep_horizon_s:.2f} s) is shorter than the env timeout "
+                f"max_ep_len={env.config.max_ep_len} s: episodes that "
+                "survive never terminate inside the rollout, so sparse "
+                "terminal rewards are never paid (all-zero returns). "
+                "Lower max_ep_len or raise episode_steps.")
 
     def init(self, key: jax.Array) -> ARSState:
         return ARSState(

@@ -22,6 +22,8 @@ import os
 import jax
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from quadruped_springs_tpu.utils import verification as V
 
 DATA = os.path.join(os.path.dirname(__file__), "data")
