@@ -489,7 +489,8 @@ def forward_dynamics(model: Go1Model, params: SimParams, state: RobotState,
 def step(model: Go1Model, params: SimParams, state: RobotState,
          tau: jnp.ndarray, velocity_limits: jnp.ndarray,
          ext_force_world: jnp.ndarray | None = None,
-         foot_anchor: jnp.ndarray | None = None):
+         foot_anchor: jnp.ndarray | None = None,
+         impl: str | None = None):
     """Semi-implicit Euler step at params.dt (1 kHz default).
 
     Mirrors the reference sim-step semantics: torques applied, then
@@ -497,9 +498,10 @@ def step(model: Go1Model, params: SimParams, state: RobotState,
     clamped at the configured max (quadruped.py:678-683). With
     `foot_anchor` (4,2) the feet use anchor-spring stiction (see
     contact_forces) and info["new_anchor"] carries the updated anchors.
+    `impl` forwards to forward_dynamics ("ref"/"soa"/None=per-backend).
     """
     a0, qdd, info = forward_dynamics(model, params, state, tau,
-                                     ext_force_world,
+                                     ext_force_world, impl=impl,
                                      foot_anchor=foot_anchor)
     dt = params.dt
     R = sp.quat_to_mat(state.quat)

@@ -29,6 +29,11 @@ from quadruped_springs_tpu.tasks import costs as task_costs
 N_STATE = 37
 
 
+def _apply_with_scen(fn, scenarios, X, U):
+    """Close batched scenarios over a (X, U, scenarios) vmapped dynamics."""
+    return fn(X, U, scenarios)
+
+
 def state_to_vec(s: dyn.RobotState) -> jnp.ndarray:
     return jnp.concatenate([s.pos, s.quat, s.lin_vel, s.ang_vel, s.q, s.qd])
 
@@ -57,6 +62,11 @@ class MPCConfig:
     # scan unroll factor for the backward+forward sweeps.
     relin_every: int = 1
     ilqr_unroll: int = 1
+    # dtype for the A/B Jacobian sweep ONLY ("f32" or "bf16"): the
+    # 43-tangent linearization dominates iLQR iteration FLOPs; rollouts,
+    # cost ranking, and the Riccati recursion stay f32 (see
+    # ilqr.solve(dynamics_lin=...)).
+    lin_dtype: str = "f32"
     # Planner integration rate: the solver's internal dynamics may integrate
     # coarser than the 1 kHz execution rate. The TPU cost of a solve is
     # dominated by *sequential* substeps (dispatch latency, not FLOPs), so
@@ -127,12 +137,25 @@ class MPCProblem:
 
     # -- dynamics: one 100 Hz control knot = action_repeat 1 kHz substeps --
     def dynamics(self, x: jnp.ndarray, u: jnp.ndarray,
-                 scenario: rnd.ScenarioParams | None = None) -> jnp.ndarray:
-        cfg = self.cfg
-        scenario = rnd.nominal_params(cfg) if scenario is None else scenario
-        model = rnd.model_from_params(scenario)
-        params = self.sim_params.replace(friction=scenario.friction)
-        q_des = ci.action_to_command(self.iface, u)
+                 scenario: rnd.ScenarioParams | None = None,
+                 dtype=None) -> jnp.ndarray:
+        """One planner knot. With `dtype` (e.g. jnp.bfloat16) every model
+        constant, state, and intermediate is cast so the whole knot
+        computes in that precision (returns f32) — the reduced-precision
+        linearization path (MPCConfig.lin_dtype)."""
+        cast = (lambda t: t) if dtype is None else (
+            lambda t: jax.tree.map(
+                lambda a: a.astype(dtype)
+                if (hasattr(a, "dtype")
+                    and jnp.issubdtype(a.dtype, jnp.floating)) else a, t))
+        cfg = cast(self.cfg)
+        iface = cast(self.iface)
+        scenario = rnd.nominal_params(self.cfg) if scenario is None else scenario
+        scenario = cast(scenario)
+        model = cast(rnd.model_from_params(scenario))
+        params = cast(self.sim_params.replace(friction=scenario.friction))
+        u = u if dtype is None else u.astype(dtype)
+        q_des = ci.action_to_command(iface, u)
 
         def substep(s, _):
             tau_m = act.pd_torque(q_des, s.q, s.qd, cfg.motor_kp, cfg.motor_kd,
@@ -141,20 +164,32 @@ class MPCProblem:
                 tau_m = tau_m + act.spring_torque(
                     s.q, s.qd, scenario.spring_stiffness,
                     scenario.spring_damping, cfg.spring_rest_angles)
-            s2, _ = dyn.step(model, params, s, tau_m, cfg.velocity_limits)
-            return s2, None
+            # reduced precision forces the scalarized impl: it is pure
+            # arithmetic (hand-written 3x3/6x6 solves), while the
+            # structured path's jnp.linalg has no bf16 kernels on CPU
+            s2, _ = dyn.step(model, params, s, tau_m, cfg.velocity_limits,
+                             impl="soa" if dtype is not None else None)
+            # some shared module constants are f32 (e.g. joint-limit
+            # tables): re-cast so the scan carry dtype stays put
+            return cast(s2), None
 
-        s, _ = jax.lax.scan(substep, vec_to_state(x), None,
+        s, _ = jax.lax.scan(substep, cast(vec_to_state(x)), None,
                             length=self.config.solver_substeps)
-        return state_to_vec(s)
+        out = state_to_vec(s)
+        return out if dtype is None else out.astype(x.dtype)
 
     # -- solve ------------------------------------------------------------
     @partial(jax.jit, static_argnums=0)
     def solve(self, x0: jnp.ndarray, u_init: jnp.ndarray,
               scenario: rnd.ScenarioParams | None = None) -> ilqr.ILQRSolution:
         dyn_fn = lambda x, u: self.dynamics(x, u, scenario)
+        dyn_lin = None
+        if self.config.lin_dtype == "bf16":
+            dyn_lin = lambda x, u: self.dynamics(x, u, scenario,
+                                                 dtype=jnp.bfloat16)
         return ilqr.solve(dyn_fn, self.stage_cost, self.terminal_cost,
-                          x0, u_init, self.ilqr_config)
+                          x0, u_init, self.ilqr_config,
+                          dynamics_lin=dyn_lin)
 
     @partial(jax.jit, static_argnums=(0, 4), static_argnames=("config",))
     def solve_mppi(self, x0: jnp.ndarray, u_init: jnp.ndarray, key,
@@ -179,10 +214,34 @@ class MPCProblem:
     @partial(jax.jit, static_argnums=0)
     def solve_batch(self, x0s: jnp.ndarray, u_inits: jnp.ndarray,
                     scenarios: rnd.ScenarioParams | None = None):
-        """vmapped scenario-batched solve: the 'VecEnv' of this framework."""
+        """Scenario-batched solve: the 'VecEnv' of this framework.
+
+        Uses the batch-explicit solver (ilqr.solve_batched) — the
+        linearization keeps the BATCH on the TPU lane axis instead of the
+        43 tangents (34% lane utilization under plain vmap(solve); see
+        solve_batched's docstring). vmap(self.solve) remains available for
+        odd batch shapes / composition with other transforms.
+        """
         if scenarios is None:
-            return jax.vmap(lambda x, u: self.solve(x, u))(x0s, u_inits)
-        return jax.vmap(self.solve)(x0s, u_inits, scenarios)
+            dyn_b = jax.vmap(lambda x, u: self.dynamics(x, u))
+            dyn_lin_b = (jax.vmap(
+                lambda x, u: self.dynamics(x, u, dtype=jnp.bfloat16))
+                if self.config.lin_dtype == "bf16" else None)
+        else:
+            dyn_b = jax.vmap(lambda x, u, s: self.dynamics(x, u, s),
+                             in_axes=(0, 0, 0))
+            dyn_b = partial(_apply_with_scen, dyn_b, scenarios)
+            if self.config.lin_dtype == "bf16":
+                d16 = jax.vmap(
+                    lambda x, u, s: self.dynamics(x, u, s,
+                                                  dtype=jnp.bfloat16),
+                    in_axes=(0, 0, 0))
+                dyn_lin_b = partial(_apply_with_scen, d16, scenarios)
+            else:
+                dyn_lin_b = None
+        return ilqr.solve_batched(
+            dyn_b, self.stage_cost, self.terminal_cost, x0s, u_inits,
+            self.ilqr_config, dynamics_lin_b=dyn_lin_b)
 
     # -- receding-horizon step (continuous jumping MPC) --------------------
     @partial(jax.jit, static_argnums=0)

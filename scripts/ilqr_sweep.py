@@ -41,12 +41,26 @@ VARIANTS = {
     "alpha4_relin2": {"n_alphas": 4, "relin_every": 2},
     "alpha4_relin2_unroll8": {"n_alphas": 4, "relin_every": 2,
                               "ilqr_unroll": 8},
+    "linbf16": {"lin_dtype": "bf16"},
+    "linbf16_relin2": {"lin_dtype": "bf16", "relin_every": 2},
+    # batch-explicit driver (ilqr.solve_batched): lane-friendly
+    # linearization layout — batch minor instead of the 43 tangents
+    "batched": {"_batched": True},
+    "batched_relin2": {"_batched": True, "relin_every": 2},
+    "batched_bf16": {"_batched": True, "lin_dtype": "bf16"},
+    "batched_bf16_relin2": {"_batched": True, "lin_dtype": "bf16",
+                            "relin_every": 2},
+    "batched_bf16_relin3": {"_batched": True, "lin_dtype": "bf16",
+                            "relin_every": 3},
+    "batched_bf16_relin2_alpha6": {"_batched": True, "lin_dtype": "bf16",
+                                   "relin_every": 2, "n_alphas": 6},
 }
 
 HORIZON, ITERS, TARGET = 50, 10, 625.0
 
 
 def bench_variant(name, kw, batch):
+    batched = kw.pop("_batched", False)
     prob = MPCProblem(MPCConfig(
         task="JUMPING_IN_PLACE", enable_springs=True,
         horizon=HORIZON, iterations=ITERS, n_alphas=kw.pop("n_alphas", 8),
@@ -58,7 +72,10 @@ def bench_variant(name, kw, batch):
     u0 = prob.task_warm_start()
     x0s = jnp.broadcast_to(x0, (batch,) + x0.shape)
     u0s = jnp.broadcast_to(u0, (batch,) + u0.shape)
-    solve = jax.jit(lambda x, u, s: jax.vmap(prob.solve)(x, u, s))
+    if batched:
+        solve = lambda x, u, s: prob.solve_batch(x, u, s)
+    else:
+        solve = jax.jit(lambda x, u, s: jax.vmap(prob.solve)(x, u, s))
     t0 = time.perf_counter()
     out = solve(x0s, u0s, scenarios)
     jax.block_until_ready(out.cost)

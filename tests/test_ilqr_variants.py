@@ -57,3 +57,23 @@ def test_unroll_bitwise_same_gains_path():
                    ilqr.ILQRConfig(horizon=40, iterations=10, unroll=8))
     np.testing.assert_allclose(np.asarray(a.us), np.asarray(b.us),
                                atol=1e-4)
+
+
+def test_solve_batched_matches_vmap_solve():
+    """The batch-explicit driver must produce the same solutions as
+    vmap(solve) (same algorithm, lane-friendly linearization layout)."""
+    import jax
+    dyn, stage, term, x0, u0 = _toy_problem()
+    cfg = ilqr.ILQRConfig(horizon=40, iterations=15)
+    B = 3
+    key = jax.random.PRNGKey(0)
+    x0s = x0 + 0.1 * jax.random.normal(key, (B, 3))
+    u0s = jnp.zeros((B, 40, 1))
+    ref = jax.vmap(lambda x, u: ilqr.solve(dyn, stage, term, x, u, cfg))(
+        x0s, u0s)
+    dyn_b = jax.vmap(dyn)
+    got = ilqr.solve_batched(dyn_b, stage, term, x0s, u0s, cfg)
+    np.testing.assert_allclose(np.asarray(got.cost), np.asarray(ref.cost),
+                               rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.us), np.asarray(ref.us),
+                               atol=5e-3)
