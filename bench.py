@@ -47,9 +47,15 @@ PER_CHIP_TARGET = 10000.0 / 16.0  # north-star divided across a v5p-16
 def main():
     use_ilqr = "--ilqr" in sys.argv
     full_rate = "--full-rate" in sys.argv
+    exact = "--exact" in sys.argv   # classic f32 full-relinearization iLQR
     mk = MPCConfig.full_rate if full_rate else MPCConfig
+    perf = {} if (not use_ilqr or exact) else dict(
+        # measured TPU frontier (scripts/ilqr_sweep.py): bf16 A/B sweep is
+        # quality-neutral (-59.98 vs -59.23 exact); relinearizing every
+        # 3rd iteration costs 3.4% final cost for 2.5x total speed.
+        lin_dtype="bf16", relin_every=3)
     cfg = mk(task="JUMPING_IN_PLACE", enable_springs=True,
-             horizon=HORIZON, iterations=ITERATIONS, n_alphas=8)
+             horizon=HORIZON, iterations=ITERATIONS, n_alphas=8, **perf)
     prob = MPCProblem(cfg)
 
     key = jax.random.PRNGKey(0)
@@ -62,9 +68,14 @@ def main():
     u0s = jnp.broadcast_to(u0, (BATCH,) + u0.shape)
 
     if use_ilqr:
-        solve = jax.jit(lambda x, u, s: jax.vmap(prob.solve)(x, u, s))
-        run = lambda: solve(x0s, u0s, scenarios).cost
-        desc = f"iLQR H={HORIZON}, {ITERATIONS} iters"
+        if exact:
+            solve = jax.jit(lambda x, u, s: jax.vmap(prob.solve)(x, u, s))
+            run = lambda: solve(x0s, u0s, scenarios).cost
+            desc = f"iLQR H={HORIZON}, {ITERATIONS} iters, exact-f32"
+        else:
+            run = lambda: prob.solve_batch(x0s, u0s, scenarios).cost
+            desc = (f"iLQR H={HORIZON}, {ITERATIONS} iters, bf16-lin, "
+                    f"relin/{cfg.relin_every}")
     else:
         mcfg = MPPIConfig(horizon=HORIZON, iterations=ITERATIONS,
                           n_samples=N_SAMPLES)

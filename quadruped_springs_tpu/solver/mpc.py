@@ -208,8 +208,13 @@ class MPCProblem:
             config = mppi.MPPIConfig(horizon=self.config.horizon,
                                      iterations=self.config.iterations)
         dyn_fn = lambda x, u: self.dynamics(x, u, scenario)
+        dyn_sample = None
+        if config.sample_dtype == "bf16":
+            dyn_sample = lambda x, u: self.dynamics(x, u, scenario,
+                                                    dtype=jnp.bfloat16)
         return mppi.solve(dyn_fn, self.stage_cost, self.terminal_cost,
-                          x0, u_init, key, config)
+                          x0, u_init, key, config,
+                          dynamics_sample=dyn_sample)
 
     @partial(jax.jit, static_argnums=0)
     def solve_batch(self, x0s: jnp.ndarray, u_inits: jnp.ndarray,

@@ -38,6 +38,11 @@ class MPPIConfig:
     elite_frac: float = 0.5      # weights computed over the best half only
     u_min: float = -1.0
     u_max: float = 1.0
+    # dtype for the K SAMPLE rollouts only ("f32"/"bf16"): candidate
+    # scoring tolerates reduced precision; the updated sequence's
+    # accept/reject evaluation and the returned trajectory always use the
+    # exact f32 dynamics (see solve(dynamics_sample=...)).
+    sample_dtype: str = "f32"
 
 
 @struct.dataclass
@@ -56,23 +61,33 @@ def _total_cost(stage_cost, terminal_cost, xs, us):
 
 def solve(dynamics: Callable, stage_cost: Callable, terminal_cost: Callable,
           x0: jnp.ndarray, u_init: jnp.ndarray, key: jax.Array,
-          config: MPPIConfig = MPPIConfig()) -> MPPISolution:
+          config: MPPIConfig = MPPIConfig(),
+          dynamics_sample: Callable | None = None) -> MPPISolution:
     """Minimize Σ l(x,u,t) + lf(x_H) by iterated importance-weighted sampling.
 
     Args mirror ilqr.solve plus an explicit PRNG key (MPPI is stochastic).
+    `dynamics_sample` (optional, e.g. a bfloat16-cast model) is used for
+    the K candidate rollouts only; the accepted sequence is always
+    re-evaluated with the exact `dynamics`.
     """
     H, m = u_init.shape
     clip_u = lambda u: jnp.clip(u, config.u_min, config.u_max)
     K = config.n_samples
     n_elite = max(int(K * config.elite_frac), 1)
 
-    def rollout(us):
+    def _rollout_with(dyn_fn, us):
         def f(x, u):
-            x2 = dynamics(x, u)
+            x2 = dyn_fn(x, u)
             return x2, x2
         _, xs_tail = jax.lax.scan(f, x0, us)
         xs = jnp.concatenate([x0[None], xs_tail], axis=0)
         return xs, _total_cost(stage_cost, terminal_cost, xs, us)
+
+    def rollout(us):
+        return _rollout_with(dynamics, us)
+
+    def rollout_sample(us):
+        return _rollout_with(dynamics_sample or dynamics, us)
 
     def iteration(carry, inp):
         k, sigma_i = inp
@@ -97,7 +112,7 @@ def solve(dynamics: Callable, stage_cost: Callable, terminal_cost: Callable,
             norm = b * jnp.sqrt((1.0 - a ** (2.0 * (t + 1.0))) / (1.0 - a * a))
             eps = jnp.swapaxes(eps, 0, 1) / norm[None, :, None]
         cand = clip_u(us[None] + eps)
-        _, costs = jax.vmap(rollout)(cand)
+        _, costs = jax.vmap(rollout_sample)(cand)
         costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
         # elite-truncated importance weights (robust to diverged samples)
         kth = jnp.sort(costs)[n_elite - 1]
