@@ -78,16 +78,19 @@ def main():
                     f"relin/{cfg.relin_every}")
     else:
         mcfg = MPPIConfig(horizon=HORIZON, iterations=ITERATIONS,
-                          n_samples=N_SAMPLES)
+                          n_samples=N_SAMPLES,
+                          sample_dtype="bf16" if "--bf16" in sys.argv
+                          else "f32")
         mppi_keys = jax.random.split(jax.random.PRNGKey(1), BATCH)
         solve = jax.jit(lambda x, u, k, s: jax.vmap(
             lambda xi, ui, ki, si: prob.solve_mppi(xi, ui, ki, mcfg, si).cost
         )(x, u, k, s))
         run = lambda: solve(x0s, u0s, mppi_keys, scenarios)
-        desc = f"MPPI H={HORIZON}, {ITERATIONS} iters, K={N_SAMPLES}"
+        desc = (f"MPPI H={HORIZON}, {ITERATIONS} iters, K={N_SAMPLES}"
+                + (", bf16-samples" if mcfg.sample_dtype == "bf16" else ""))
 
     # warmup / compile
-    jax.block_until_ready(run())
+    costs = jax.block_until_ready(run())
 
     n_runs = 3
     t0 = time.perf_counter()
@@ -102,6 +105,7 @@ def main():
         "value": round(solves_per_s, 2),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / PER_CHIP_TARGET, 4),
+        "mean_final_cost": round(float(jnp.mean(costs)), 2),
     }))
 
 

@@ -11,7 +11,9 @@ TPU-native equivalent of the reference's
     k,b zeroed when inactive.
 
 All functions are elementwise over the 12 motors and vmap over arbitrary
-batch dims; the fused batched version lives in ops/pallas_kernels.py.
+batch dims; XLA fuses them into the surrounding dynamics graph
+(hand-fused Pallas variants were benchmarked on-chip and removed —
+docs/PALLAS_DECISION.md).
 """
 
 from __future__ import annotations
