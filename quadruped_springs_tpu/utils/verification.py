@@ -317,14 +317,21 @@ def task_action_script(task: str, horizon: int = 170) -> jnp.ndarray:
         # rear legs extend harder -> pitch-back rotation
         return one_jump([0.0, -0.2, 0.6, 0.0, -0.6, 1.0])
     if task == "CONTINUOUS_JUMPING_FORWARD":
+        # TWO jump cycles + go-to-rest. Two is the open-loop comparability
+        # limit: each landing perturbs the state chaotically, and by cycle
+        # 3 the two contact models' trajectories have diverged
+        # qualitatively (measured: the compliant sim launches a third jump
+        # off its cycle-2 landing posture while the rigid oracle only
+        # hops) — sustaining more cycles is the job of the closed-loop
+        # landing/rest autopilots (env/wrappers.py), not open-loop replay.
         extend = [0.0, -0.5, 1.0, 0.0, -0.3, 0.8]
         cyc = []
-        for k in range(3):
-            o = 10 + 45 * k
+        for k in range(2):
+            o = 10 + 55 * k
             cyc += [(o, crouch), (o + 18, crouch), (o + 24, extend),
                     (o + 32, extend), (o + 38, land)]
         return _ramped_script(
-            [(0, stand)] + cyc + [(145, land), (157, stand),
+            [(0, stand)] + cyc + [(135, land), (147, stand),
                                   (horizon - 1, stand)], horizon)
     raise KeyError(f"no action script for task {task!r}")
 

@@ -36,7 +36,7 @@ def test_oracle_trace_gate(task):
     env = V.fidelity_env(task)
     path = os.path.join(DATA, f"oracle_{task.lower()}.qsts")
     report = V.verify_against_trace(env, path, jax.random.PRNGKey(0))
-    assert report["steps"] == 170
+    assert report["steps"] >= 170
     assert report["pass"], report
     # the strict BASELINE gate on its meaningful domain
     assert report["static_flight_max_dev_frac"] < 0.02, report
