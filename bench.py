@@ -45,6 +45,9 @@ PER_CHIP_TARGET = 10000.0 / 16.0  # north-star divided across a v5p-16
 
 
 def main():
+    global BATCH
+    if "--batch" in sys.argv:
+        BATCH = int(sys.argv[sys.argv.index("--batch") + 1])
     use_ilqr = "--ilqr" in sys.argv
     full_rate = "--full-rate" in sys.argv
     exact = "--exact" in sys.argv   # classic f32 full-relinearization iLQR

@@ -69,23 +69,17 @@ class ILQRConfig:
     unroll: int = 1
 
 
-def _parallel_lqt_backward(A, B, lx, lu, lxx, luu, lux, VxT, VxxT, reg):
-    """Parallel-in-time Riccati via jax.lax.associative_scan (O(log H) depth).
+def lqt_elements(A, B, lx, lu, lxx, luu, lux, VxT, VxxT, reg):
+    """Conditional-value-function elements of the LQ subproblem (Särkkä &
+    García-Fernández 2021): per-knot tuples (a, b, C, η, J) for steps
+    0..H-1 plus the terminal element. Cross terms are removed by the
+    change of variables u = v − R⁻¹(lux δx + lu); regularization is an LM
+    shift on the control Hessian (reg + Gershgorin(luu)).
 
-    Solves the per-iteration LQ subproblem
-        min Σ ½δxᵀlxx δx + lxᵀδx + ½δuᵀluu δu + luᵀδu + δuᵀlux δx + terminal
-        s.t. δx' = A δx + B δu
-    by composing conditional-value-function elements (a, b, C, η, J)
-    (Särkkä & García-Fernández 2021, "Temporal parallelization of dynamic
-    programming and linear quadratic control"). Cross terms are removed by
-    the change of variables u = v − luuʳ⁻¹(lux δx + lu); regularization is
-    an LM shift on the control Hessian (reg + Gershgorin(luu)).
-
-    Returns (ks (H,m), Ks (H,m,n), dV=0, ok).
-    """
-    H, n, m = A.shape[0], A.shape[1], B.shape[2]
+    Returns (elems (5 arrays, leading dim H+1), R (H,m,m))."""
+    n = A.shape[1]
+    m = B.shape[2]
     eye_m = jnp.eye(m, dtype=A.dtype)
-    eye_n = jnp.eye(n, dtype=A.dtype)
 
     # regularized control Hessian (PD by Gershgorin shift)
     offdiag = (jnp.sum(jnp.abs(luu), axis=-1)
@@ -104,50 +98,56 @@ def _parallel_lqt_backward(A, B, lx, lu, lxx, luu, lux, VxT, VxxT, reg):
     RinvBt = jnp.linalg.solve(R, B.swapaxes(-1, -2))     # (H, m, n)
     Ct = jnp.einsum("hab,hbc->hac", B, RinvBt)           # (H, n, n)
 
-    # elements for steps 0..H-1 plus the terminal element
     a_el = jnp.concatenate([At, jnp.zeros((1, n, n), A.dtype)], axis=0)
     b_el = jnp.concatenate([ct, jnp.zeros((1, n), A.dtype)], axis=0)
     C_el = jnp.concatenate([Ct, jnp.zeros((1, n, n), A.dtype)], axis=0)
     eta_el = jnp.concatenate([-qt, -VxT[None]], axis=0)
     J_el = jnp.concatenate([Qt, VxxT[None]], axis=0)
+    return (a_el, b_el, C_el, eta_el, J_el), R
 
-    def combine(e_later, e_earlier):
-        """Compose element i = e_earlier (covers [k,l)) with j = e_later
-        (covers [l,r)). Note the argument order: with reverse=True,
-        associative_scan flips the sequence and runs a forward scan, so the
-        accumulated LATER block arrives first."""
-        Ai, bi, Ci, etai, Ji = e_earlier
-        Aj, bj, Cj, etaj, Jj = e_later
-        I_CJ = eye_n + jnp.einsum("...ab,...bc->...ac", Ci, Jj)
-        # X = (I + C_i J_j)⁻¹, applied from the left
-        AjX = jnp.einsum(
-            "...ab,...bc->...ac", Aj,
-            jnp.linalg.solve(I_CJ, jnp.broadcast_to(eye_n, I_CJ.shape)))
-        I_JC = eye_n + jnp.einsum("...ab,...bc->...ac", Jj, Ci)
-        AiT_Y = jnp.einsum(
-            "...ba,...bc->...ac", Ai,
-            jnp.linalg.solve(I_JC, jnp.broadcast_to(eye_n, I_JC.shape)))
-        A_new = jnp.einsum("...ab,...bc->...ac", AjX, Ai)
-        b_new = jnp.einsum("...ab,...b->...a", AjX,
-                           bi + jnp.einsum("...ab,...b->...a", Ci, etaj)) + bj
-        C_new = jnp.einsum("...ab,...bc,...dc->...ad", AjX, Ci, Aj) + Cj
-        eta_new = jnp.einsum(
-            "...ab,...b->...a", AiT_Y,
-            etaj - jnp.einsum("...ab,...b->...a", Jj, bi)) + etai
-        J_new = jnp.einsum("...ab,...bc,...cd->...ad", AiT_Y, Jj, Ai) + Ji
-        return (A_new, b_new, C_new, eta_new, J_new)
 
-    # reverse associative scan: element at index k composes [k..T]
-    elems = (a_el, b_el, C_el, eta_el, J_el)
-    composed = jax.lax.associative_scan(combine, elems, reverse=True)
-    S = composed[4]          # (H+1, n, n): value Hessians S_k
-    eta = composed[3]        # (H+1, n):    value linear terms s_k = −η_k
-    s_lin = -eta
+def lqt_identity_element(n, dtype, batch_shape=()):
+    """Neutral element of lqt_combine (covers an empty interval)."""
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=dtype), batch_shape + (n, n))
+    z_nn = jnp.zeros(batch_shape + (n, n), dtype)
+    z_n = jnp.zeros(batch_shape + (n,), dtype)
+    return (eye, z_n, z_nn, z_n, z_nn)
 
-    # per-knot gains from S_{k+1}, s_{k+1}, all in the ORIGINAL (u, A)
-    # coordinates — the deviation dynamics have no affine term, so
-    # Qu = lu + Bᵀs', Qux = lux + BᵀS'A, Quu = R + BᵀS'B. All parallel.
-    S1, s1 = S[1:], s_lin[1:]
+
+def lqt_combine(e_later, e_earlier):
+    """Compose element i = e_earlier (covers [k,l)) with j = e_later
+    (covers [l,r)). Note the argument order: with reverse=True,
+    associative_scan flips the sequence and runs a forward scan, so the
+    accumulated LATER block arrives first."""
+    Ai, bi, Ci, etai, Ji = e_earlier
+    Aj, bj, Cj, etaj, Jj = e_later
+    n = Ai.shape[-1]
+    eye_n = jnp.eye(n, dtype=Ai.dtype)
+    I_CJ = eye_n + jnp.einsum("...ab,...bc->...ac", Ci, Jj)
+    # X = (I + C_i J_j)⁻¹, applied from the left
+    AjX = jnp.einsum(
+        "...ab,...bc->...ac", Aj,
+        jnp.linalg.solve(I_CJ, jnp.broadcast_to(eye_n, I_CJ.shape)))
+    I_JC = eye_n + jnp.einsum("...ab,...bc->...ac", Jj, Ci)
+    AiT_Y = jnp.einsum(
+        "...ba,...bc->...ac", Ai,
+        jnp.linalg.solve(I_JC, jnp.broadcast_to(eye_n, I_JC.shape)))
+    A_new = jnp.einsum("...ab,...bc->...ac", AjX, Ai)
+    b_new = jnp.einsum("...ab,...b->...a", AjX,
+                       bi + jnp.einsum("...ab,...b->...a", Ci, etaj)) + bj
+    C_new = jnp.einsum("...ab,...bc,...dc->...ad", AjX, Ci, Aj) + Cj
+    eta_new = jnp.einsum(
+        "...ab,...b->...a", AiT_Y,
+        etaj - jnp.einsum("...ab,...b->...a", Jj, bi)) + etai
+    J_new = jnp.einsum("...ab,...bc,...cd->...ad", AiT_Y, Jj, Ai) + Ji
+    return (A_new, b_new, C_new, eta_new, J_new)
+
+
+def lqt_gains(S1, s1, A, B, R, lu, lux):
+    """Per-knot gains from the NEXT knot's value function (S_{k+1},
+    s_{k+1}), in the ORIGINAL (u, A) coordinates — the deviation dynamics
+    have no affine term, so Qu = lu + Bᵀs', Qux = lux + BᵀS'A,
+    Quu = R + BᵀS'B. All knots in parallel."""
     Quu = R + jnp.einsum("hba,hbc,hcd->had", B, S1, B)
     rhs_k = jnp.einsum("hba,hb->ha", B, s1) + lu
     rhs_K = jnp.einsum("hba,hbc,hcd->had", B, S1, A) + lux
@@ -155,6 +155,23 @@ def _parallel_lqt_backward(A, B, lx, lu, lxx, luu, lux, VxT, VxxT, reg):
                                                 axis=-1))
     ks = -sol[..., 0]
     Ks = -sol[..., 1:]
+    return ks, Ks
+
+
+def _parallel_lqt_backward(A, B, lx, lu, lxx, luu, lux, VxT, VxxT, reg):
+    """Parallel-in-time Riccati via jax.lax.associative_scan (O(log H)
+    depth) within one device. The device-sharded variant (time axis over
+    the mesh with ICI collectives) lives in parallel/riccati.py.
+
+    Returns (ks (H,m), Ks (H,m,n), dV=0, ok).
+    """
+    elems, R = lqt_elements(A, B, lx, lu, lxx, luu, lux, VxT, VxxT, reg)
+    # reverse associative scan: element at index k composes [k..T]
+    composed = jax.lax.associative_scan(lqt_combine, elems, reverse=True)
+    S = composed[4]          # (H+1, n, n): value Hessians S_k
+    s_lin = -composed[3]     # (H+1, n):    value linear terms
+
+    ks, Ks = lqt_gains(S[1:], s_lin[1:], A, B, R, lu, lux)
     ok = jnp.all(jnp.isfinite(ks)) & jnp.all(jnp.isfinite(Ks))
     dV = jnp.asarray(0.0, A.dtype)
     return ks, Ks, dV, ok
