@@ -21,3 +21,21 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module.
+
+    A monolithic full-suite run accumulates hundreds of live XLA:CPU
+    executables (jitted methods keyed on static env/problem instances are
+    never collected); past ~110 tests the NEXT fresh compilation
+    segfaults inside the XLA CPU compiler — reproduced deterministically
+    at the first fresh compile of whatever module runs last, and absent
+    in any half-suite run. Clearing per module keeps the live set small;
+    the persistent compilation cache makes the forced re-traces cheap.
+    """
+    yield
+    jax.clear_caches()
