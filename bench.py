@@ -16,7 +16,11 @@ MPCConfig.planner_desc. The default benchmark plans on the relaxed
 200 Hz / 4 kN/m planner model that both solvers share (standard MPC
 practice: soft planner, stiff executor — solver/mpc.py MPCConfig);
 `--full-rate` benches planning on the execution-rate model instead
-(10x1 ms substeps, 30 kN/m, damping clamp on — MPCConfig.full_rate()).
+(10x1 ms substeps, the executor's 180 kN/m / 100 contact with clamp on —
+MPCConfig.full_rate(); the planner remains memoryless, i.e. no
+anchor-spring stiction, as disclosed there). Transfer from the relaxed
+planner to the stiff executor is gated mechanically in
+tests/test_transfer.py.
 Flags: --ilqr (gradient solver), --full-rate, --cpu.
 
 The reference itself publishes no benchmark numbers (BASELINE.md); its

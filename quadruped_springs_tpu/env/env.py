@@ -185,7 +185,8 @@ class QuadrupedEnv:
     # ------------------------------------------------------------------
     @partial(jax.jit, static_argnums=0)
     def reset(self, key: jax.Array, desired_robot_state: dyn.RobotState | None = None,
-              curriculum_level: jnp.ndarray | None = None):
+              curriculum_level: jnp.ndarray | None = None,
+              demo_start_idx: jnp.ndarray | None = None):
         """Reset. `curriculum_level` (traced, in [0,1]) overrides the static
         EnvConfig.curriculum_level — the runtime hook behind the reference's
         trainer-driven `increase_curriculum_level`
@@ -235,9 +236,17 @@ class QuadrupedEnv:
         last_action = ci.command_to_action(self.iface, self.iface.init_pose)
         # prime contact/torque info from one dynamics evaluation
         _, _, cinfo = dyn.forward_dynamics(model, params, robot, jnp.zeros(12))
+        task_state = tk.init_task_state(self._mk_task_ctx0(robot, cinfo))
+        if demo_start_idx is not None:
+            # RSI for imitation (reference_state_initialization_wrapper.py):
+            # spawning mid-demo must also advance the imitation index so
+            # the *_DEMO reward compares against the matching demo action
+            task_state = task_state.replace(
+                demo_counter=jnp.asarray(demo_start_idx, jnp.int32),
+                demo_start=jnp.asarray(demo_start_idx, jnp.int32))
         state = EnvState(
             robot=robot,
-            task=tk.init_task_state(self._mk_task_ctx0(robot, cinfo)),
+            task=task_state,
             scenario=scenario,
             filter_state=af.filter_reset(self.action_dim, last_action),
             foot_anchor=anchor,

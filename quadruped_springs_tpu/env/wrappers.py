@@ -159,7 +159,13 @@ class LandingWrapperBackflip:
         def body_flip(o):
             return _pack(env, env.step(o.state, self.TAKE_OFF_ACTION))
 
-        out = jax.lax.while_loop(cond_flip, body_flip, out)
+        # do-while: the reference take_off_phase always steps at least once
+        # before checking the trigger (landing_wrapper_backflip.py:38-44),
+        # so run one body step unconditionally (matters when unwrapped
+        # pitch already exceeds the threshold at the trigger instant)
+        out = jax.lax.while_loop(
+            cond_flip, body_flip,
+            jax.lax.cond(out.done, lambda o: o, body_flip, out))
 
         def body_land(o):
             return _pack(env, env.step(o.state, self.landing_action))

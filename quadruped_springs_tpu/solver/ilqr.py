@@ -459,10 +459,13 @@ def solve_batched(dynamics_b: Callable, stage_cost: Callable,
     vT_grad = jax.vmap(jax.grad(terminal_cost))
     vT_hess = jax.vmap(jax.hessian(terminal_cost))
 
-    riccati_b = jax.vmap(
-        lambda A, B, lx, lu, lxx, luu, lux, Vx, Vxx, reg:
-        riccati_sequential(A, B, lx, lu, lxx, luu, lux, Vx, Vxx, reg,
-                           config))
+    if config.backward == "parallel":
+        riccati_b = jax.vmap(_parallel_lqt_backward)
+    else:
+        riccati_b = jax.vmap(
+            lambda A, B, lx, lu, lxx, luu, lux, Vx, Vxx, reg:
+            riccati_sequential(A, B, lx, lu, lxx, luu, lux, Vx, Vxx, reg,
+                               config))
 
     def backward_b(Xs, Us, regs, AB):
         ts = jnp.arange(H)

@@ -85,17 +85,26 @@ class MPCConfig:
     # Impact-damping clamp (SimParams.clamp_damping): required on the stiff
     # execution model, optional on the relaxed planner (off = ~1.8x faster).
     clamp_damping: bool = False
+    # lax.scan unroll factor for the 1 kHz substep loop inside one planner
+    # knot — a full-rate (10-substep) perf knob; measure before trusting
+    # (XLA schedule luck: unroll hurt the iLQR sweeps, memory shows).
+    substep_unroll: int = 1
 
     @classmethod
     def full_rate(cls, **kw) -> "MPCConfig":
-        """Execution-rate planner: 10x1 ms substeps, 30 kN/m contact, clamp
-        on — the planner integrates the SAME model the 1 kHz simulator runs
-        (env/env.py), no relaxation. ~5x more sequential substeps per knot;
-        use for sampling solvers (MPPI) or honest full-rate benchmarks.
+        """Execution-rate planner: 10x1 ms substeps with the execution
+        contact constants — kn=180 kN/m, dn=100 N s/m, damping clamp on —
+        i.e. the SimParams `models/dynamics.default_sim_params` gives the
+        1 kHz simulator (env/env.py). One disclosed gap remains: the
+        planner is memoryless, so feet use the viscous-regularized
+        friction cone instead of the executor's anchor-spring stiction
+        state (SimParams.tangential_* notes). ~5x more sequential substeps
+        per knot; use for sampling solvers (MPPI) or honest full-rate
+        benchmarks.
         """
         kw.setdefault("solver_substeps", 10)
-        kw.setdefault("contact_stiffness", 30000.0)
-        kw.setdefault("contact_damping", 600.0)
+        kw.setdefault("contact_stiffness", 180000.0)
+        kw.setdefault("contact_damping", 100.0)
         kw.setdefault("clamp_damping", True)
         return cls(**kw)
 
@@ -174,7 +183,8 @@ class MPCProblem:
             return cast(s2), None
 
         s, _ = jax.lax.scan(substep, cast(vec_to_state(x)), None,
-                            length=self.config.solver_substeps)
+                            length=self.config.solver_substeps,
+                            unroll=self.config.substep_unroll)
         out = state_to_vec(s)
         return out if dtype is None else out.astype(x.dtype)
 

@@ -95,6 +95,11 @@ class TaskState:
     end_jump: jnp.ndarray              # () bool
     # demo tasks
     demo_counter: jnp.ndarray          # () int32
+    # RSI spawn index: the imitation reward normalizes by the REMAINING
+    # demo steps delta_demo = demo_len - demo_start (task_base.py:183-184),
+    # so every episode's perfect-imitation return is 1 regardless of where
+    # RSI spawned it
+    demo_start: jnp.ndarray            # () int32
 
 
 def init_task_state(ctx: TaskCtx) -> TaskState:
@@ -130,6 +135,7 @@ def init_task_state(ctx: TaskCtx) -> TaskState:
         first_jump=jnp.asarray(True),
         end_jump=jnp.asarray(False),
         demo_counter=jnp.asarray(0, jnp.int32),
+        demo_start=jnp.asarray(0, jnp.int32),
     )
 
 
@@ -390,11 +396,15 @@ def task_reward(td: TaskDef, ts: TaskState, ctx: TaskCtx,
         return jnp.asarray(0.0, jnp.float32)
 
     if k in ("demo", "continuous_demo"):
-        # imitation: exp(-0.35 ||a_demo - a||) / delta_demo (task_base.py:195-211)
-        idx = jnp.minimum(ts.demo_counter, demo_actions.shape[0] - 1)
+        # imitation: exp(-0.35 ||a_demo - a||) / delta_demo where
+        # delta_demo = demo_len - demo_start (task_base.py:183-211: _reward
+        # reads demo[counter] THEN increments; our on_step pre-increments,
+        # so index counter-1 scores step t against a_demo[t])
+        idx = jnp.clip(ts.demo_counter - 1, 0, demo_actions.shape[0] - 1)
         a_demo = demo_actions[idx]
         r = jnp.exp(-0.35 * _norm(a_demo - ctx.last_action))
-        return r / jnp.float32(demo_len)
+        delta = jnp.maximum(jnp.float32(demo_len) - ts.demo_start, 1.0)
+        return r / delta
 
     rew_h = td.k_h * _clipped_height(td, ctx)
     rew_smooth = _rew_smoothing(td, ts)

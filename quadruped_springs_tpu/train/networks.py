@@ -23,16 +23,21 @@ class MLPPolicy(nn.Module):
 
     @nn.compact
     def __call__(self, obs):
+        # towers carry pi_/vf_ name scopes so stage transitions can copy
+        # the actor and re-initialize the critic (PPOTrainer.warm_start):
+        # warm-starting fine-tune with a critic fitted to a DIFFERENT
+        # reward scale floods the shared optimizer with value-loss
+        # gradient and collapses the imitated policy.
         x = obs
-        for h in self.hidden:
-            x = nn.tanh(nn.Dense(h)(x))
-        mean = nn.Dense(self.action_dim)(x)
+        for i, h in enumerate(self.hidden):
+            x = nn.tanh(nn.Dense(h, name=f"pi_{i}")(x))
+        mean = nn.Dense(self.action_dim, name="pi_out")(x)
         log_std = self.param("log_std", nn.initializers.constant(-0.5),
                              (self.action_dim,))
         v = obs
-        for h in self.hidden:
-            v = nn.tanh(nn.Dense(h)(v))
-        value = nn.Dense(1)(v)[..., 0]
+        for i, h in enumerate(self.hidden):
+            v = nn.tanh(nn.Dense(h, name=f"vf_{i}")(v))
+        value = nn.Dense(1, name="vf_out")(v)[..., 0]
         return mean, log_std, value
 
 

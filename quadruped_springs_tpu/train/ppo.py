@@ -41,6 +41,11 @@ class PPOConfig:
     max_grad_norm: float = 0.5
     reset_bank_size: int = 32
     hidden: tuple = (64, 64)
+    # SB3 target_kl analog: when > 0, minibatch updates are masked out
+    # (params frozen) for the rest of the train_step once the running
+    # approx_kl exceeds this — the brake that keeps fine-tuning from
+    # stepping a warm-started policy off a cliff.
+    kl_stop: float = 0.0
 
 
 @struct.dataclass
@@ -56,9 +61,15 @@ class PPOState:
 
 
 class PPOTrainer:
-    def __init__(self, env: QuadrupedEnv, config: PPOConfig = PPOConfig()):
+    def __init__(self, env: QuadrupedEnv, config: PPOConfig = PPOConfig(),
+                 demo=None):
+        """`demo` (optional demo-library array): build the reset bank with
+        reference-state initialization (rollout.make_rsi_bank) — the
+        reference composes the RSI wrapper into the imitation stack
+        (load_model.py:45-47 methodology)."""
         self.env = env
         self.config = config
+        self.demo = demo
         self.net = MLPPolicy(env.action_dim, config.hidden)
         self.tx = optax.chain(
             optax.clip_by_global_norm(config.max_grad_norm),
@@ -68,7 +79,11 @@ class PPOTrainer:
         cfg = self.config
         k_param, k_bank, k_env, key = jax.random.split(key, 4)
         params = self.net.init(k_param, jnp.zeros(self.env.obs_dim))
-        bank = ro.make_reset_bank(self.env, k_bank, cfg.reset_bank_size)
+        if self.demo is not None:
+            bank = ro.make_rsi_bank(self.env, self.demo, k_bank,
+                                    cfg.reset_bank_size)
+        else:
+            bank = ro.make_reset_bank(self.env, k_bank, cfg.reset_bank_size)
         idx = jax.random.randint(k_env, (cfg.n_envs,), 0, cfg.reset_bank_size)
         env_states = jax.tree.map(lambda a: a[idx], bank[0])
         obs = bank[1][idx]
@@ -83,12 +98,38 @@ class PPOTrainer:
             iteration=jnp.asarray(0, jnp.int32),
         )
 
+    def warm_start(self, ts: PPOState, src_params, src_obs_norm,
+                   key: jax.Array, reset_value: bool = True,
+                   log_std: float | None = None) -> PPOState:
+        """Stage-transition warm start (imitation -> fine-tune): copy the
+        ACTOR tower (+ running obs stats) from the source stage, but
+        re-initialize the CRITIC — the source critic is fitted to a
+        different reward scale, and its huge initial value error otherwise
+        dominates the shared update and collapses the policy (the failure
+        mode the round-2 run committed: eval apex 0.57 m -> 0.001 m).
+        `log_std` optionally re-opens exploration (imitation typically
+        anneals it shut). Optimizer state restarts fresh."""
+        fresh = self.net.init(key, jnp.zeros(self.env.obs_dim))
+        p = {k: (v if (reset_value and k.startswith("vf_"))
+                 else jax.tree.map(jnp.asarray, src_params["params"][k]))
+             for k, v in fresh["params"].items()}
+        if log_std is not None:
+            p["log_std"] = jnp.full_like(p["log_std"], log_std)
+        params = {"params": p}
+        return ts.replace(params=params, opt_state=self.tx.init(params),
+                          obs_norm=src_obs_norm)
+
     def _action_fn(self, params, obs_norm):
         def fn(obs, key):
             o = vnorm.normalize(obs_norm, obs)
             mean, log_std, value = self.net.apply(params, o)
             eps = jax.random.normal(key, mean.shape)
-            a = jnp.clip(mean + jnp.exp(log_std) * eps, -1.0, 1.0)
+            # store the UNCLIPPED sample; the rollout clips what the env
+            # executes (SB3 semantics). Computing logp at the clipped
+            # action makes the surrogate reward pushing the mean OUTWARD
+            # to exploit clipping's variance reduction — measured here as
+            # deterministic eval degrading while train reward creeps up.
+            a = mean + jnp.exp(log_std) * eps
             return a, gaussian_logp(a, mean, log_std), value
         return fn
 
@@ -120,8 +161,13 @@ class PPOTrainer:
             jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv).mean()
         vf = 0.5 * jnp.mean((value - batch["ret"]) ** 2)
         ent = jnp.sum(log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e))
+        logratio = logp - batch["logp"]
+        # non-negative KL estimator (Schulman's k3, what SB3's target_kl
+        # early stop thresholds on)
+        kl_est = jnp.mean(jnp.exp(logratio) - 1.0 - logratio)
         return pg + cfg.vf_coef * vf - cfg.ent_coef * ent, \
-            {"pg_loss": pg, "vf_loss": vf, "approx_kl": jnp.mean(batch["logp"] - logp)}
+            {"pg_loss": pg, "vf_loss": vf,
+             "approx_kl": jnp.mean(batch["logp"] - logp), "kl_est": kl_est}
 
     @partial(jax.jit, static_argnums=0)
     def train_step(self, ts: PPOState):
@@ -151,33 +197,44 @@ class PPOTrainer:
         mb = n // cfg.n_minibatches
 
         def epoch(carry, k):
-            params, opt_state = carry
+            params, opt_state, halted = carry
             perm = jax.random.permutation(k, n)
             shuf = jax.tree.map(lambda a: a[perm], batch)
 
             def minibatch(carry, i):
-                params, opt_state = carry
+                params, opt_state, halted = carry
                 sl = jax.tree.map(
                     lambda a: jax.lax.dynamic_slice_in_dim(a, i * mb, mb), shuf)
                 (loss, aux), grads = jax.value_and_grad(
                     self._loss, has_aux=True)(params, sl)
-                updates, opt_state = self.tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), (loss, aux)
+                updates, opt_state2 = self.tx.update(grads, opt_state, params)
+                params2 = optax.apply_updates(params, updates)
+                # kl_stop: once the policy has drifted past the trust
+                # region, freeze — both branches trace, the masked select
+                # keeps the scan jit-able (SB3 target_kl early stop)
+                if cfg.kl_stop > 0.0:
+                    halted = halted | (aux["kl_est"] > cfg.kl_stop)
+                    keep = lambda new, old: jax.tree.map(
+                        lambda a, b: jnp.where(halted, b, a), new, old)
+                    params2 = keep(params2, params)
+                    opt_state2 = keep(opt_state2, opt_state)
+                return (params2, opt_state2, halted), (loss, aux)
 
-            (params, opt_state), (losses, auxs) = jax.lax.scan(
-                minibatch, (params, opt_state), jnp.arange(cfg.n_minibatches))
-            return (params, opt_state), (losses, auxs)
+            (params, opt_state, halted), (losses, auxs) = jax.lax.scan(
+                minibatch, (params, opt_state, halted),
+                jnp.arange(cfg.n_minibatches))
+            return (params, opt_state, halted), (losses, auxs)
 
         keys = jax.random.split(k_perm, cfg.n_epochs)
-        (params, opt_state), (losses, auxs) = jax.lax.scan(
-            epoch, (ts.params, ts.opt_state), keys)
+        (params, opt_state, _), (losses, auxs) = jax.lax.scan(
+            epoch, (ts.params, ts.opt_state, jnp.asarray(False)), keys)
 
         metrics = {
             "loss": jnp.mean(losses),
             "pg_loss": jnp.mean(auxs["pg_loss"]),
             "vf_loss": jnp.mean(auxs["vf_loss"]),
             "approx_kl": jnp.mean(auxs["approx_kl"]),
+            "kl_est": jnp.mean(auxs["kl_est"]),
             "mean_reward": jnp.mean(traj["reward"]),
             "episode_rate": jnp.mean(traj["done"].astype(jnp.float32)),
         }

@@ -39,6 +39,28 @@ def make_reset_bank(env: QuadrupedEnv, key: jax.Array, n: int,
     return states, obs
 
 
+def make_rsi_bank(env: QuadrupedEnv, demo, key: jax.Array, n: int):
+    """Reset bank with reference-state initialization: each entry spawns
+    at a random demo row (1-in-5 restricted to the first 20%,
+    reference_state_initialization_wrapper.py:25-43) with the robot in
+    that row's exact recorded state AND the imitation index advanced to
+    match (env.reset(demo_start_idx=...)). The auto-reset bank then mixes
+    mid-trajectory starts the way the reference's RSI wrapper does per
+    reset."""
+    from quadruped_springs_tpu.utils import demo as demo_util
+
+    demo = jnp.asarray(demo)
+    demo_len = int(demo.shape[0])
+
+    def one(k):
+        k1, k2 = jax.random.split(k)
+        idx = demo_util.rsi_index(k1, demo_len)
+        rs = demo_util.demo_robot_state(demo, idx, env.action_dim)
+        return env.reset(k2, desired_robot_state=rs, demo_start_idx=idx)
+
+    return jax.vmap(one)(jax.random.split(key, n))
+
+
 def episode_returns(env: QuadrupedEnv, policy_fn: Callable, states, obs0,
                     max_steps: int):
     """Roll full episodes from given start states; returns per-episode
@@ -102,7 +124,11 @@ def segment_rollout(env: QuadrupedEnv, action_fn: Callable, states, obs,
         states, obs = carry
         k_act, k_reset = jax.random.split(key_t)
         action, logp, value = action_fn(obs, k_act)
-        states2, obs2, r, done, info = jax.vmap(env.step)(states, action)
+        # the env executes the clipped action; the stored `action` stays
+        # unclipped so logp/ratio stay exact Gaussian (see PPOTrainer.
+        # _action_fn — clip-at-logp distorts the learned mean)
+        states2, obs2, r, done, info = jax.vmap(env.step)(
+            states, jnp.clip(action, -1.0, 1.0))
         # auto-reset where done
         B = obs.shape[0]
         reset_keys = jax.random.split(k_reset, B)

@@ -82,8 +82,14 @@ def split_trace(trace: np.ndarray, action_dim: int):
     return out
 
 
-def classify_phases(ref, action_dim: int, stance_z: float = 0.326):
+def classify_phases(ref, action_dim: int, stance_z: float | None = None):
     """Label each knot of a reference trace for the phase-resolved gate.
+
+    `stance_z` (the standing height that flight/impact thresholds hang
+    off) defaults to the trace's OWN settled pre-action height — the
+    median z over the leading knots before the first commanded action
+    change — so the labels track whatever init pose / robot config
+    produced the trace instead of assuming the Go1 default stand.
 
     0 = static (stance at rest, or ballistic flight): pointwise comparison
         between two contact solvers is meaningful — strict gate applies.
@@ -96,6 +102,11 @@ def classify_phases(ref, action_dim: int, stance_z: float = 0.326):
     """
     z = ref["pos"][:, 2]
     T = len(z)
+    if stance_z is None:
+        da0 = np.abs(np.diff(ref["action"], axis=0)).max(axis=1)
+        changed = np.where(da0 > 1e-6)[0]
+        lead = int(changed[0]) + 1 if len(changed) else T
+        stance_z = float(np.median(z[:max(min(lead, T // 4), 1)]))
     flight = z > stance_z + 0.06
     # "loaded-dynamic" = commands ramping recently OR the body still in
     # motion (e.g. the crouch-catch rebound after the ramp ended): static
@@ -258,11 +269,14 @@ def _default_env():
         obs_noise=False))
 
 
-def fidelity_env(task: str) -> QuadrupedEnv:
+def fidelity_env(task: str, enable_springs: bool = True) -> QuadrupedEnv:
     """Deterministic env for physics-fidelity traces: no randomization
-    (mu=1.0, nominal masses/springs — the oracle's setup), no obs noise."""
+    (mu=1.0, nominal masses/springs — the oracle's setup), no obs noise.
+    `enable_springs` selects between the two first-class robot configs
+    (quadruped_gym_env.py:98-102): the PEA variant and the rigid baseline
+    (configs_go1_without_springs.py) — both are gated against the oracle."""
     return QuadrupedEnv(EnvConfig(
-        enable_springs=True, task_env=task,
+        enable_springs=enable_springs, task_env=task,
         observation_space_mode="ARS_BASIC", action_space_mode="SYMMETRIC",
         env_randomizer_mode="NONE", obs_noise=False))
 

@@ -34,13 +34,17 @@ def main():
     ap.add_argument("--out", default="tests/data")
     ap.add_argument("--verify-only", action="store_true")
     ap.add_argument("--tasks", nargs="*", default=list(TASKS))
+    ap.add_argument("--no-springs", action="store_true",
+                    help="rigid baseline (configs_go1_without_springs.py "
+                         "gains/limits); writes oracle_<task>_nospring.qsts")
     args = ap.parse_args()
 
     key = jax.random.PRNGKey(0)
     reports = {}
+    suffix = "_nospring" if args.no_springs else ""
     for task in args.tasks:
-        path = os.path.join(args.out, f"oracle_{task.lower()}.qsts")
-        env = V.fidelity_env(task)
+        path = os.path.join(args.out, f"oracle_{task.lower()}{suffix}.qsts")
+        env = V.fidelity_env(task, enable_springs=not args.no_springs)
         if not args.verify_only:
             rows = V.record_oracle_trace(env, V.task_action_script(task))
             trajstore.write(path, np.asarray(rows, np.float32))

@@ -46,3 +46,40 @@ def test_mppi_go1_jump_improves_over_warm_start():
     vz = sol.xs[:, 9]
     apex = float(jnp.max(zs + jnp.maximum(vz, 0.0) ** 2 / (2 * 9.81)))
     assert apex > 0.36, apex
+
+
+def test_mppi_fused_accept_matches_quality():
+    """fused_accept halves sequential depth (candidate-0-as-accept); its
+    solution quality must match the per-iteration-accept path on the same
+    problem, and the exact-dynamics final selection must be honored."""
+    dt = 0.1
+    A = jnp.array([[1.0, dt], [0.0, 1.0]])
+    B = jnp.array([[0.0], [dt]])
+    dynamics = lambda x, u: A @ x + B @ u
+    stage = lambda x, u, t: 0.01 * jnp.sum(u ** 2)
+    terminal = lambda x: jnp.sum((x - jnp.array([1.0, 0.0])) ** 2)
+
+    H = 20
+    base = dict(horizon=H, iterations=30, n_samples=64, sigma=0.4,
+                temperature=0.05, smooth=False)
+    ref = mppi.solve(dynamics, stage, terminal, jnp.zeros(2),
+                     jnp.zeros((H, 1)), jax.random.PRNGKey(0),
+                     mppi.MPPIConfig(**base))
+    fused = mppi.solve(dynamics, stage, terminal, jnp.zeros(2),
+                       jnp.zeros((H, 1)), jax.random.PRNGKey(0),
+                       mppi.MPPIConfig(**base, fused_accept=True))
+    # same quality band (stochastic path differs: candidate 0 is pinned)
+    assert float(fused.cost) < 0.118 * 1.10, float(fused.cost)
+    assert abs(float(fused.cost) - float(ref.cost)) < 0.25 * float(ref.cost)
+    # returned cost/xs are consistent with the returned us under the
+    # exact dynamics
+    def roll_cost(us):
+        def f(x, u):
+            x2 = dynamics(x, u)
+            return x2, x2
+        _, xs_tail = jax.lax.scan(f, jnp.zeros(2), us)
+        xs = jnp.concatenate([jnp.zeros(2)[None], xs_tail], axis=0)
+        ts = jnp.arange(H)
+        return (jnp.sum(jax.vmap(stage)(xs[:-1], us, ts)) + terminal(xs[-1]))
+    assert np.isclose(float(roll_cost(fused.us)), float(fused.cost),
+                      rtol=1e-5)
