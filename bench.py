@@ -55,13 +55,14 @@ def main():
     use_ilqr = "--ilqr" in sys.argv
     full_rate = "--full-rate" in sys.argv
     exact = "--exact" in sys.argv   # classic f32 full-relinearization iLQR
+    springs = "--no-springs" not in sys.argv  # rigid-baseline bench row
     mk = MPCConfig.full_rate if full_rate else MPCConfig
     perf = {} if (not use_ilqr or exact) else dict(
         # measured TPU frontier (scripts/ilqr_sweep.py): bf16 A/B sweep is
         # quality-neutral (-59.98 vs -59.23 exact); relinearizing every
         # 3rd iteration costs 3.4% final cost for 2.5x total speed.
         lin_dtype="bf16", relin_every=3)
-    cfg = mk(task="JUMPING_IN_PLACE", enable_springs=True,
+    cfg = mk(task="JUMPING_IN_PLACE", enable_springs=springs,
              horizon=HORIZON, iterations=ITERATIONS, n_alphas=8, **perf)
     prob = MPCProblem(cfg)
 
@@ -108,7 +109,8 @@ def main():
     solves_per_s = BATCH / dt
     print(json.dumps({
         "metric": f"MPC solves/s/chip ({desc}, {cfg.planner_desc}, "
-                  f"batch {BATCH}, domain-randomized)",
+                  f"batch {BATCH}, domain-randomized"
+                  + ("" if springs else ", no-springs") + ")",
         "value": round(solves_per_s, 2),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / PER_CHIP_TARGET, 4),

@@ -5,11 +5,19 @@ policy): the policy crouches and fires the explosive extension; once the
 task detects take-off (flying & time-to-peak > 0.06 s,
 task_base.py:152-160) the LandingWrapperBackflip autopilot drives the
 fixed take-off action until the unwrapped pitch passes 5π/8, then holds
-the landing action to touchdown. Here the launch comes from a scripted
-crouch + the MPC-style rear-biased extension; success = unwrapped pitch
-≥ 2π (task.max_pitch_bf) and an upright final pose.
+the landing action to touchdown.
 
-Usage: python examples/run_backflip_closed_loop.py [--cpu]
+Launch modes:
+  --launch mpc (default): the TRAJECTORY OPTIMIZER produces the launch —
+    the BACKFLIP-cost MPC problem is solved from the settled state (MPPI
+    on the relaxed planner model, H=24) and its solution is executed on
+    the stiff simulator through the autopilot wrapper. No hand-scripted
+    action sequence anywhere; success = unwrapped pitch >= 2π and an
+    upright landing.
+  --launch script: the round-2 hand-scripted crouch + rear-biased
+    extension, kept for comparison.
+
+Usage: python examples/run_backflip_closed_loop.py [--cpu] [--launch mpc]
 """
 
 import argparse
@@ -22,15 +30,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 import jax
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--crouch-knots", type=int, default=8)
-    ap.add_argument("--max-steps", type=int, default=60)
-    args = ap.parse_args()
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
-
+def run(launch: str = "mpc", crouch_knots: int = 8, max_steps: int = 60,
+        seed: int = 0, verbose: bool = True):
     import jax.numpy as jnp
     import numpy as np
 
@@ -44,15 +45,34 @@ def main():
         action_space_mode="SYMMETRIC", obs_noise=False, max_ep_len=4.0))
     w = wr.LandingWrapperBackflip(env, variant="hold")
 
-    crouch = jnp.array([0.0, 0.5, -0.9, 0.0, 0.5, -0.9])
-    launch = jnp.array([0.0, -0.3, 0.7, 0.0, -1.0, 1.0])
+    state, _ = env.reset(jax.random.PRNGKey(seed))
 
-    state, _ = env.reset(jax.random.PRNGKey(0))
+    if launch == "mpc":
+        from quadruped_springs_tpu.solver import mppi
+        from quadruped_springs_tpu.solver.mpc import (MPCConfig, MPCProblem,
+                                                      state_to_vec)
+        prob = MPCProblem(MPCConfig(task="BACKFLIP", horizon=24,
+                                    iterations=8, n_alphas=4))
+        mcfg = mppi.MPPIConfig(horizon=24, iterations=8, n_samples=64,
+                               sigma=0.3, fused_accept=True)
+        sol = prob.solve_mppi(state_to_vec(state.robot),
+                              prob.task_warm_start(crouch_knots=crouch_knots)[:24],
+                              jax.random.PRNGKey(seed + 1), mcfg)
+        plan = sol.us
+
+        def action_at(i):
+            return plan[min(i, plan.shape[0] - 1)]
+    else:
+        crouch = jnp.array([0.0, 0.5, -0.9, 0.0, 0.5, -0.9])
+        launch_a = jnp.array([0.0, -0.3, 0.7, 0.0, -1.0, 1.0])
+
+        def action_at(i):
+            frac = min((i + 1) / crouch_knots, 1.0)
+            return frac * crouch if i < crouch_knots else launch_a
+
     out = None
-    for i in range(args.max_steps):
-        frac = min((i + 1) / args.crouch_knots, 1.0)
-        a = frac * crouch if i < args.crouch_knots else launch
-        out = w.step(state, a)
+    for i in range(max_steps):
+        out = w.step(state, action_at(i))
         state = out.state
         if bool(out.done):
             break
@@ -60,17 +80,40 @@ def main():
     ts = state.task
     pitch_bf = float(ts.max_pitch_bf)
     rpy = np.asarray(sp.quat_to_rpy(state.robot.quat))
-    upright = (abs(rpy[0]) < 0.4
-               and (abs(rpy[1]) < 0.5 or abs(abs(rpy[1]) - 2 * np.pi) < 0.5)
-               and float(state.robot.pos[2]) > 0.15)
-    print(f"unwrapped pitch max: {pitch_bf:.2f} rad "
-          f"({np.degrees(pitch_bf):.0f} deg)")
-    print(f"apex height: {float(ts.relative_max_height):.3f} m (relative)")
-    print(f"final pos z {float(state.robot.pos[2]):.3f}, rpy {rpy.round(2)}")
-    print(f"full rotation (>=2*pi): {pitch_bf >= 2 * np.pi - 0.1}")
-    print(f"lands upright: {upright}")
-    print(f"done at control step {i}, sim time "
-          f"{float(env.sim_time(state)):.2f} s")
+    R = np.asarray(sp.quat_to_mat(state.robot.quat))
+    upright = bool(R[2, 2] > 0.85 and float(state.robot.pos[2]) > 0.15)
+    result = {
+        "launch": launch,
+        "pitch_unwrapped_rad": pitch_bf,
+        "full_rotation": bool(pitch_bf >= 2 * np.pi - 0.1),
+        "apex_rel_m": float(ts.relative_max_height),
+        "final_z": float(state.robot.pos[2]),
+        "upright": upright,
+        "steps": i,
+        "sim_s": float(env.sim_time(state)),
+    }
+    if verbose:
+        print(f"launch mode: {launch}")
+        print(f"unwrapped pitch max: {pitch_bf:.2f} rad "
+              f"({np.degrees(pitch_bf):.0f} deg)")
+        print(f"apex height: {result['apex_rel_m']:.3f} m (relative)")
+        print(f"final pos z {result['final_z']:.3f}, rpy {rpy.round(2)}")
+        print(f"full rotation (>=2*pi): {result['full_rotation']}")
+        print(f"lands upright: {upright}")
+        print(f"done at control step {i}, sim time {result['sim_s']:.2f} s")
+    return result, state
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--launch", default="mpc", choices=("mpc", "script"))
+    ap.add_argument("--crouch-knots", type=int, default=8)
+    ap.add_argument("--max-steps", type=int, default=60)
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    run(args.launch, args.crouch_knots, args.max_steps)
 
 
 if __name__ == "__main__":

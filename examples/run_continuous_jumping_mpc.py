@@ -1,0 +1,98 @@
+"""Sustained continuous jumping, closed-loop: receding-horizon MPC (MPPI)
+drives the stiff 1 kHz simulator through >=4 consecutive forward jumps.
+
+This is the closed-loop counterpart of the 2-cycle open-loop fidelity
+trace (utils/verification.py task_action_script: each landing perturbs the
+state chaotically, so sustaining cycles is the job of FEEDBACK, exactly as
+the reference sustains them with its landing/rest autopilot wrappers and
+policies, task_base.py:283-400). The env runs CONTINUOUS_JUMPING_FORWARD3
+so the task's per-jump statistics (fwd_array / height_array /
+performance_array, robot_tasks.py:168-212) score the run.
+
+Usage: python examples/run_continuous_jumping_mpc.py [--cpu] [--seconds 6]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax
+
+
+def run(seconds: float = 6.0, replan_every: int = 2, seed: int = 0,
+        verbose: bool = True):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from quadruped_springs_tpu.env.env import EnvConfig, QuadrupedEnv
+    from quadruped_springs_tpu.solver import mppi
+    from quadruped_springs_tpu.solver.mpc import (MPCConfig, MPCProblem,
+                                                  state_to_vec)
+
+    env = QuadrupedEnv(EnvConfig(
+        enable_springs=True, task_env="CONTINUOUS_JUMPING_FORWARD3",
+        observation_space_mode="PPO_CONTINUOUS_JUMPING_FORWARD",
+        action_space_mode="SYMMETRIC", obs_noise=False,
+        env_randomizer_mode="NONE", max_ep_len=float(seconds) + 1.0))
+    prob = MPCProblem(MPCConfig(task="CONTINUOUS_JUMPING_FORWARD",
+                                horizon=25, iterations=4, n_alphas=4))
+    mcfg = mppi.MPPIConfig(horizon=25, iterations=4, n_samples=32,
+                           sigma=0.25, fused_accept=True)
+
+    state, _ = env.reset(jax.random.PRNGKey(seed))
+    u_warm = prob.task_warm_start(crouch_knots=6)[: 25]
+    key = jax.random.PRNGKey(seed + 1)
+    n_steps = int(seconds * 100)
+    zs, xs_track = [], []
+    for t in range(n_steps):
+        x = state_to_vec(state.robot)
+        if t % replan_every == 0:
+            key, k = jax.random.split(key)
+            sol = prob.solve_mppi(x, u_warm, k, mcfg)
+            u_warm = sol.us
+        action = u_warm[0]
+        u_warm = jnp.concatenate([u_warm[1:], u_warm[-1:]], axis=0)
+        state, _, _, done, _ = env.step(state, action)
+        zs.append(float(state.robot.pos[2]))
+        xs_track.append(float(state.robot.pos[0]))
+        if bool(done):
+            break
+
+    ts = state.task
+    n_jumps = int(ts.jump_counter)
+    perf = np.asarray(ts.performance_array)[:max(n_jumps, 1)]
+    fwd = np.asarray(ts.fwd_array)[:max(n_jumps, 1)]
+    hts = np.asarray(ts.height_array)[:max(n_jumps, 1)]
+    out = {
+        "sim_seconds": round(float(env.sim_time(state)), 2),
+        "n_jumps": n_jumps,
+        "good_jumps": int(ts.good_jump_counter),
+        "per_jump_fwd_m": [round(float(v), 3) for v in fwd],
+        "per_jump_height_m": [round(float(v), 3) for v in hts],
+        "per_jump_performance": [round(float(v), 3) for v in perf],
+        "total_fwd_m": round(xs_track[-1] - xs_track[0], 3) if xs_track else 0.0,
+        "final_z_m": round(zs[-1], 3) if zs else 0.0,
+        "max_z_m": round(max(zs), 3) if zs else 0.0,
+    }
+    if verbose:
+        print(json.dumps(out, indent=2))
+    return out, state
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--seconds", type=float, default=6.0)
+    ap.add_argument("--replan-every", type=int, default=2)
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    run(args.seconds, args.replan_every)
+
+
+if __name__ == "__main__":
+    main()

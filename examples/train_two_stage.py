@@ -32,7 +32,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ars-iters", type=int, default=40)
     ap.add_argument("--ppo-imitate-iters", type=int, default=400)
-    ap.add_argument("--ppo-finetune-iters", type=int, default=150)
+    ap.add_argument("--ppo-finetune-iters", type=int, default=600)
     ap.add_argument("--out", default="examples/out")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -157,8 +157,13 @@ def main():
           f"apex {results['ppo_imitate_apex_m']}")
 
     # ---- Stage 4: PPO fine-tune on the dense task, warm-started ---------
+    # Fine-tune at standard PPO aggressiveness (the reference fine-tunes
+    # with stock SB3 hyperparameters): the safety rails against collapse
+    # are the fresh critic + the KL early stop, not a timid step size.
+    # Measured: lr=1e-4/kl=0.03 improves apex only 0.05->0.09 in 150
+    # iters; lr=3e-4/kl=0.05 with re-opened exploration keeps climbing.
     ft_cfg = PPOConfig(n_envs=32, segment_len=64, reset_bank_size=16,
-                       lr=1e-4, kl_stop=0.03, ent_coef=0.0)
+                       lr=3e-4, kl_stop=0.05, ent_coef=0.0)
     ppo_ft = PPOTrainer(ft_env, ft_cfg)
     fs = ppo_ft.init(jax.random.PRNGKey(2))
     # warm start: imitation ACTOR + obs statistics; FRESH critic (the
@@ -167,7 +172,7 @@ def main():
     # re-open exploration moderately
     fs = ppo_ft.warm_start(fs, ps.params, ps.obs_norm,
                            jax.random.PRNGKey(3), reset_value=True,
-                           log_std=-1.0)
+                           log_std=-0.7)
     curve_ft = []
     best_ft_apex = 0.0
     for i in range(args.ppo_finetune_iters):

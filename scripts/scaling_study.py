@@ -26,16 +26,21 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def run_one(n_devices: int, batch: int, solver: str, horizon: int,
             iterations: int, n_samples: int) -> dict:
     """Child-process measurement (fresh backend per device count)."""
+    env = {**os.environ,
+           "XLA_FLAGS": (os.environ.get("XLA_FLAGS", "")
+                         + f" --xla_force_host_platform_device_count={n_devices}").strip(),
+           "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_cache",
+           "JAX_PLATFORMS": "cpu"}
+    # the axon TPU-tunnel plugin rides in on PYTHONPATH and opens its
+    # remote connection even under JAX_PLATFORMS=cpu (observed blocking in
+    # tcp_recvmsg for minutes); CPU measurement children must not load it
+    env.pop("PYTHONPATH", None)
     out = subprocess.run(
         [sys.executable, __file__, "--_worker", str(n_devices),
          "--batch", str(batch), "--solver", solver,
          "--horizon", str(horizon), "--iterations", str(iterations),
          "--n-samples", str(n_samples)],
-        capture_output=True, text=True, cwd=REPO, timeout=5400,
-        env={**os.environ,
-             "XLA_FLAGS": (os.environ.get("XLA_FLAGS", "")
-                           + f" --xla_force_host_platform_device_count={n_devices}").strip(),
-             "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_cache"})
+        capture_output=True, text=True, cwd=REPO, timeout=5400, env=env)
     if out.returncode != 0:
         raise RuntimeError(out.stdout[-2000:] + out.stderr[-2000:])
     return json.loads(out.stdout.strip().splitlines()[-1])
@@ -116,7 +121,12 @@ def main():
     ap.add_argument("--horizon", type=int, default=50)
     ap.add_argument("--iterations", type=int, default=10)
     ap.add_argument("--n-samples", type=int, default=8)
-    ap.add_argument("--out", default="SCALING_r02.json")
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="independent child-process runs per device count; "
+                         "the table reports the MEDIAN (the 1-core virtual-"
+                         "device timings have ±25%% excursions, so single "
+                         "samples mislead)")
+    ap.add_argument("--out", default="SCALING_r03.json")
     args = ap.parse_args()
     if args._worker is not None:
         worker(args)
@@ -124,13 +134,23 @@ def main():
 
     rows = []
     for n in args.devices:
-        r = run_one(n, args.batch, args.solver, args.horizon,
-                    args.iterations, args.n_samples)
+        walls, solves = [], []
+        r = None
+        for rep in range(args.repeats):
+            r = run_one(n, args.batch, args.solver, args.horizon,
+                        args.iterations, args.n_samples)
+            walls.append(r["wall_s"])
+            solves.append(r["solves_per_s"])
+            print(json.dumps(r), flush=True)
+        walls_sorted = sorted(walls)
+        r["wall_s"] = walls_sorted[len(walls) // 2]
+        r["wall_s_all"] = walls
+        r["solves_per_s"] = sorted(solves)[len(solves) // 2]
+        r["solves_per_s_all"] = solves
         rows.append(r)
-        print(json.dumps(r), flush=True)
     base = rows[0]["wall_s"]
     for r in rows:
-        # strong-scaling efficiency vs the 1-device run
+        # strong-scaling efficiency vs the 1-device run (medians)
         r["speedup_vs_1dev"] = round(base / r["wall_s"], 3)
         r["efficiency"] = round(base / r["wall_s"] / r["n_devices"], 3)
     table = {

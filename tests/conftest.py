@@ -17,6 +17,16 @@ if "xla_force_host_platform_device_count" not in flags:
 # compiles are minutes; cached reruns are seconds.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
+import sys  # noqa: E402
+
+# The axon TPU-tunnel plugin rides in via PYTHONPATH (/root/.axon_site)
+# and opens its remote TCP connection at plugin discovery EVEN when the
+# selected platform is cpu — observed blocking in tcp_recvmsg for minutes
+# when the tunnel is unhealthy. The suite is CPU-only; drop the plugin's
+# path before jax can discover it.
+sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

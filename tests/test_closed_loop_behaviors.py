@@ -1,0 +1,44 @@
+"""Closed-loop behavior gates: the SOLVER (not a hand script) must drive
+the dynamic motions end-to-end on the stiff 1 kHz simulator.
+
+  * backflip: MPPI on the BACKFLIP cost plans the launch from the settled
+    state; the LandingWrapperBackflip autopilot finishes rotation+landing
+    (reference architecture: RL launch + autopilot,
+    landing_wrapper_backflip.py:8-81). Success = >=2π unwrapped pitch and
+    an upright final pose.
+  * jumping forward: MPPI on the JUMPING_FORWARD cost + LandingWrapper;
+    success = a stated forward distance (>=0.30 m) with an upright landing.
+  * continuous jumping: receding-horizon MPPI on the continuous-forward
+    cost sustains >=4 consecutive jumps over >=5 s, scored by the task's
+    own per-jump statistics (robot_tasks.py:168-212).
+"""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+def test_backflip_mpc_launch_full_flip_lands_upright():
+    from examples.run_backflip_closed_loop import run
+    result, _ = run(launch="mpc", verbose=False)
+    assert result["full_rotation"], result
+    assert result["upright"], result
+
+
+def test_jumping_forward_mpc_clears_distance():
+    from examples.run_jumping_forward_mpc import run
+    result, state = run(verbose=False)
+    assert result["fwd_distance_m"] >= 0.30, result
+    assert result["apex_rel_m"] >= 0.10, result
+    assert result["final_z"] > 0.15, result
+
+
+def test_continuous_jumping_mpc_sustains_four_jumps():
+    from examples.run_continuous_jumping_mpc import run
+    out, _ = run(seconds=6.0, verbose=False)
+    assert out["sim_seconds"] >= 5.0, out
+    assert out["n_jumps"] >= 4, out
+    # forward progress across the run and per-jump stats populated
+    assert out["total_fwd_m"] > 0.4, out
+    assert len(out["per_jump_performance"]) >= 4, out

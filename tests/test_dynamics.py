@@ -178,3 +178,44 @@ def test_batched_step_vmaps():
     step = jax.vmap(lambda s: dyn.step(model, params, s, jnp.zeros(12), cfg.velocity_limits)[0])
     out = jax.jit(step)(batch)
     assert out.pos.shape == (16, 3)
+
+
+def test_contact_site_geometry_vs_closed_form_kinematics():
+    """Independence check for the contact GEOMETRY (the one piece the
+    rigid-LCP oracle shares with the production model): foot contact-site
+    placement from the dynamics tree's FK must equal the closed-form
+    per-leg kinematics (models/kinematics.py — the reference-identical
+    formulas, an independent derivation from the URDF constants) composed
+    with the hip offsets, and the site radius must be the URDF's 0.02 m
+    collision sphere (urdf:231-235)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from quadruped_springs_tpu.models import dynamics as dyn
+    from quadruped_springs_tpu.models import go1_params as gp
+    from quadruped_springs_tpu.models import kinematics as kin
+
+    model = gp.build_model(gp.go1_config(True))
+    key = jax.random.PRNGKey(3)
+    for i in range(3):
+        q = jax.random.uniform(jax.random.fold_in(key, i), (12,),
+                               minval=-0.9, maxval=0.6)
+        state = dyn.RobotState(
+            pos=jnp.array([0.0, 0.0, 0.5]),
+            quat=jnp.array([0.0, 0.0, 0.0, 1.0]),
+            lin_vel=jnp.zeros(3), ang_vel=jnp.zeros(3), q=q, qd=jnp.zeros(12))
+        fk = dyn.forward_kinematics(model, state.q)
+        pts_b, radii = dyn.contact_sites(model, fk)
+        # closed-form: leg-frame foot position + hip offset -> base frame
+        legf = kin.foot_position(q.reshape(4, 3))
+        hip = jnp.stack([jnp.asarray(gp.FRONT_SIGN) * gp.X_OFFSET,
+                         jnp.asarray(gp.SIDE_SIGN) * gp.Y_OFFSET,
+                         jnp.zeros(4)], axis=-1)
+        expect = (legf + hip)
+        feet_tree = pts_b[:4]
+        # orderings may differ; match each closed-form leg to nearest site
+        for j in range(4):
+            d = jnp.linalg.norm(feet_tree - expect[j], axis=1)
+            assert float(jnp.min(d)) < 1e-5, (j, np.asarray(d))
+        assert np.allclose(np.asarray(radii[:4]), 0.02)

@@ -42,3 +42,18 @@ def test_oracle_trace_gate(task):
     assert report["static_flight_max_dev_frac"] < 0.02, report
     assert report["mean_torque_dev_frac_pre_touchdown"] < 0.02, report
     assert report["max_height_dev_m_pre_touchdown"] < 0.03, report
+
+
+@pytest.mark.parametrize("task", ("JUMPING_IN_PLACE", "JUMPING_FORWARD"))
+def test_oracle_trace_gate_no_springs(task):
+    """The rigid (no-PEA) robot config is first-class in the reference
+    (quadruped_gym_env.py:98-102 selects configs_go1_without_springs.py
+    with its own gains/limits); gate it against its own oracle traces."""
+    env = V.fidelity_env(task, enable_springs=False)
+    path = os.path.join(DATA, f"oracle_{task.lower()}_nospring.qsts")
+    report = V.verify_against_trace(env, path, jax.random.PRNGKey(0))
+    assert report["steps"] >= 170
+    assert report["pass"], report
+    assert report["static_flight_max_dev_frac"] < 0.02, report
+    assert report["mean_torque_dev_frac_pre_touchdown"] < 0.02, report
+    assert report["max_height_dev_m_pre_touchdown"] < 0.03, report

@@ -1,0 +1,58 @@
+"""Planner->executor transfer gate (the load-bearing justification for
+benching on the relaxed 200 Hz / 4 kN planner model): solutions planned on
+the relaxed model, executed OPEN-LOOP on the stiff 1 kHz env (180 kN/m,
+anchor stiction, the exact execution path of env/env.py), must reproduce
+the planned behavior — a real jump with matching apex — and land upright.
+
+Referenced from bench.py's honest-reporting note; calibration data in
+scripts/measure_transfer.py. The closed-loop (receding-horizon) variant of
+this claim is exercised by examples/run_closed_loop_mpc.py and the
+continuous-jumping test."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+from quadruped_springs_tpu.solver import mppi
+from quadruped_springs_tpu.solver.mpc import MPCConfig, MPCProblem, state_to_vec
+from quadruped_springs_tpu.utils import verification as V
+
+
+def _plan_and_execute(solver: str):
+    prob = MPCProblem(MPCConfig(task="JUMPING_IN_PLACE", horizon=50,
+                                iterations=10, n_alphas=8))
+    env = V.fidelity_env("JUMPING_IN_PLACE")
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    x0 = state_to_vec(state.robot)
+    u0 = prob.task_warm_start()
+    if solver == "mppi":
+        sol = prob.solve_mppi(x0, u0, jax.random.PRNGKey(1),
+                              mppi.MPPIConfig(horizon=50, iterations=10))
+    else:
+        sol = prob.solve(x0, u0)
+    planned_apex = float(jnp.max(sol.xs[:, 2]))
+    rows = np.asarray(
+        V.record_golden_trace(env, sol.us, jax.random.PRNGKey(2)))
+    got = V.split_trace(rows, env.action_dim)
+    return planned_apex, got
+
+
+@pytest.mark.parametrize("solver", ["mppi", "ilqr"])
+def test_relaxed_plan_transfers_to_stiff_executor(solver):
+    planned_apex, got = _plan_and_execute(solver)
+    z = got["pos"][:, 2]
+    executed_apex = float(z.max())
+    # the plan is a real jump, and the stiff executor reproduces it
+    assert planned_apex > 0.45, planned_apex
+    assert executed_apex > 0.45, executed_apex
+    # apex parity between the relaxed planner's prediction and the stiff
+    # execution (same tolerance family as the oracle gate's apex check,
+    # widened for the 4 kN/m planner's contact sink + no-stiction gap)
+    assert abs(planned_apex - executed_apex) < 0.10, (
+        planned_apex, executed_apex)
+    # behavioral landing: ends upright at standing-ish height
+    assert float(z[-1]) > 0.15
+    assert abs(got["quat"][-1, 0]) + abs(got["quat"][-1, 1]) < 0.5
