@@ -55,10 +55,16 @@ def main():
     # max_ep_len must sit INSIDE the rollout horizon: the sparse task pays
     # its reward at episode end (robot_tasks.py:31-57), so episodes that
     # never finish within episode_steps would give ARS an all-zero signal.
+    # enable_action_filter: the reference trains every policy through the
+    # 3 Hz Butterworth (utils/action_filter.py) — and it is ALSO the
+    # imitation stabilizer: the filter low-passes the per-knot action
+    # errors of the imitating policy, so small mismatches no longer
+    # destroy the explosive launch (measured: without it, a policy at
+    # near-perfect imitation reward still only reached 0.09 m apex).
     env = QuadrupedEnv(EnvConfig(
         enable_springs=True, task_env="JUMPING_IN_PLACE",
         observation_space_mode="ARS_BASIC", action_space_mode="SYMMETRIC",
-        settling_steps=600, max_ep_len=1.0))
+        settling_steps=600, max_ep_len=1.0, enable_action_filter=True))
     ars = ARSTrainer(env, ARSConfig(
         n_directions=8, top_directions=4, episode_steps=110,
         reset_bank_size=8, step_size=0.03, delta_std=0.04))
@@ -99,14 +105,15 @@ def main():
     ft_env = QuadrupedEnv(EnvConfig(
         enable_springs=True, task_env="JUMPING_IN_PLACE_PPO",
         observation_space_mode="ARS_BASIC", action_space_mode="SYMMETRIC",
-        settling_steps=600, max_ep_len=2.0))
+        settling_steps=600, max_ep_len=2.0, enable_action_filter=True))
 
     # ---- Stage 3: PPO imitation on the *_DEMO task + RSI -----------------
     acts = demo_util.demo_actions(demo, env.action_dim)
     demo_env = QuadrupedEnv(EnvConfig(
         enable_springs=True, task_env="JUMPING_IN_PLACE_DEMO",
         observation_space_mode="ARS_BASIC", action_space_mode="SYMMETRIC",
-        settling_steps=600, max_ep_len=2.0), demo_actions=acts)
+        settling_steps=600, max_ep_len=2.0, enable_action_filter=True),
+        demo_actions=acts)
     # Imitation PPO hyperparameters: the *_DEMO reward is ACTION-LOCAL
     # (each step scores the current action against the demo row), so a
     # small gamma concentrates credit on the acting step instead of
