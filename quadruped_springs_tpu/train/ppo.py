@@ -46,6 +46,12 @@ class PPOConfig:
     # approx_kl exceeds this — the brake that keeps fine-tuning from
     # stepping a warm-started policy off a cliff.
     kl_stop: float = 0.0
+    # Critic-warmup mode for stage transitions: train ONLY the value head
+    # (policy gradient and entropy terms zeroed). A fresh critic's huge
+    # value error otherwise makes the first GAE advantages garbage, and
+    # the policy steps taken on them are what start eroding a warm-started
+    # jumper before the trust region can help.
+    freeze_actor: bool = False
 
 
 @struct.dataclass
@@ -165,7 +171,8 @@ class PPOTrainer:
         # non-negative KL estimator (Schulman's k3, what SB3's target_kl
         # early stop thresholds on)
         kl_est = jnp.mean(jnp.exp(logratio) - 1.0 - logratio)
-        return pg + cfg.vf_coef * vf - cfg.ent_coef * ent, \
+        pg_coef = 0.0 if cfg.freeze_actor else 1.0
+        return pg_coef * (pg - cfg.ent_coef * ent) + cfg.vf_coef * vf, \
             {"pg_loss": pg, "vf_loss": vf,
              "approx_kl": jnp.mean(batch["logp"] - logp), "kl_est": kl_est}
 
