@@ -41,16 +41,36 @@ def collect_demo(env: QuadrupedEnv, policy_fn: Callable, key: jax.Array,
     Returns:
       (rows (max_steps, row_dim), valid (max_steps,) bool, final env state)
     """
+    from quadruped_springs_tpu.control import interfaces as ci
+
     if rest_duration is None:
         rest_duration = 1.0 if env.config.enable_springs else 0.3
     n_ramp = max(int(rest_duration / env.env_time_step), 1)
-    landing_action = env.get_landing_action()
+    # Landing hold: the DEEP-CROUCH pose the reference authors left as the
+    # commented-out alternative (configs_go1_with_springs.py:37,
+    # [0, 1.0, -2.1]) with raised damping. The active reference choice
+    # (landing pose = standing pose, :38) tips over in THIS simulator: the
+    # PEA springs return the impact energy as a ~6 cm re-hop whose second,
+    # asymmetric touchdown falls over under any pose-hold gains — measured
+    # sweep in scripts/diag_landing_sweep.py (stand kp75/kd1 and kp60/kd3
+    # both terminate with invalid contact; crouch kp60/kd3 settles into
+    # stable stance at h=0.27 within 0.7 s of touchdown).
+    landing_action = (ci.command_to_action(
+        env.iface, jnp.asarray([0.0, 1.0, -2.1] * 4))
+        if env.config.enable_springs else env.get_landing_action())
     rest_action = env.get_init_action()
+    # NO gain switching anywhere (unlike GoToRestWrapper's temporary
+    # kp=60/kd=0.8, go_to_rest_wrapper.py:22-41): demo rows record ACTIONS
+    # only, so any phase executed under special gains is un-clonable — the
+    # BC policy replays the same actions under the default gains and the
+    # dynamics diverge exactly at the landing (measured: a kd=3-recorded
+    # landing replayed at default kd tips over, apex mean 0.55 -> 0.23).
+    # With the crouch landing pose the default gains are stable.
 
     state0, obs0 = env.reset(key)
 
     def step_fn(carry, _):
-        state, obs, phase, held, peak_deadline, rest_i, done = carry
+        state, obs, phase, held, peak_deadline, rest_i, settle, done = carry
 
         pol_a = policy_fn(obs)
         ramp = jnp.minimum((rest_i + 1.0) / n_ramp, 1.0)
@@ -59,12 +79,10 @@ def collect_demo(env: QuadrupedEnv, policy_fn: Callable, key: jax.Array,
             [phase == PHASE_POLICY, phase == PHASE_TAKEOFF,
              phase == PHASE_LANDING, phase == PHASE_REST],
             [pol_a, held, landing_action, rest_a])
-
         state2, obs2, r, d2, info = env.step(state, action)
 
         t = env.sim_time(state2)
         switched = state2.task.switched_controller
-        flying = ~jnp.any(state2.feet_in_contact)
         # phase transitions (landing_wrapper.py / go_to_rest_wrapper.py)
         new_deadline = t + state2.robot.lin_vel[2] / _G
         enter_takeoff = (phase == PHASE_POLICY) & switched
@@ -73,9 +91,23 @@ def collect_demo(env: QuadrupedEnv, policy_fn: Callable, key: jax.Array,
         held2 = jnp.where(enter_takeoff, action, held)
         phase2 = jnp.where((phase2 == PHASE_TAKEOFF) & (t >= peak_deadline),
                            PHASE_LANDING, phase2)
-        landed = (phase2 == PHASE_LANDING) & ~flying
+        # Rest trigger: the reference's rest_condition
+        # (go_to_rest_wrapper.py:89-95) fires on all-feet + height-rising,
+        # i.e. the instant of post-impact rebound — here that instant is
+        # the START of the spring re-hop, and ramping through the hop
+        # lands mid-ramp in an extended pose and falls (measured,
+        # scripts/diag_autopilot.py). The trigger therefore waits for the
+        # settled version of the same condition: all four feet grounded
+        # with |vz| < 0.08 m/s for 10 consecutive control steps.
+        quiet = (jnp.all(state2.feet_in_contact)
+                 & (jnp.abs(state2.robot.lin_vel[2]) < 0.08))
+        settle2 = jnp.where(quiet, settle + 1, 0)
+        landed = (phase2 == PHASE_LANDING) & (settle2 >= 10)
         phase2 = jnp.where(landed, PHASE_REST, phase2)
-        held2 = jnp.where(landed, landing_action, held2)
+        # ramp starts from the CURRENT pose (get_start_action,
+        # go_to_rest_wrapper.py:55-57), not the landing action
+        start_a = ci.command_to_action(env.iface, state2.robot.q)
+        held2 = jnp.where(landed, start_a, held2)
         rest_i2 = jnp.where(phase2 == PHASE_REST, rest_i + 1, rest_i)
 
         # Record the FILTERED action (what the motors actually tracked) —
@@ -87,11 +119,12 @@ def collect_demo(env: QuadrupedEnv, policy_fn: Callable, key: jax.Array,
         state_keep = jax.tree.map(
             lambda a, b: jnp.where(done, a, b), state, state2)
         return ((state_keep, jnp.where(done, obs, obs2), phase2, held2,
-                 peak_deadline, rest_i2, done | d2),
+                 peak_deadline, rest_i2, settle2, done | d2),
                 (row, valid))
 
     init = (state0, obs0, jnp.asarray(PHASE_POLICY), jnp.zeros(env.action_dim),
-            jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(False))
+            jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(0),
+            jnp.asarray(False))
     carry, (rows, valid) = jax.lax.scan(step_fn, init, None, length=max_steps)
     return rows, valid, carry[0]
 

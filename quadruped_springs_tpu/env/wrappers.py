@@ -335,6 +335,48 @@ class GoToRestWrapper:
         return jax.lax.while_loop(lambda o: ~o.done, body_hold, out)
 
 
+class RestTruncationWrapper:
+    """Truncate the episode when the reference's rest condition fires
+    (go_to_rest_wrapper.py:89-95: a jump happened AND all feet grounded
+    AND the base height rose since the previous control step).
+
+    This is the agent-visible MDP of the reference's training stack: once
+    GoToRestWrapper triggers, its autopilot loops env.step internally
+    until the episode ends and DISCARDS every intermediate reward
+    (go_to_rest_wrapper.py:74-78 returns only the last step), so from the
+    policy's perspective the episode ends at landing. Training the dense
+    *_PPO fine-tune stage on the raw env instead exposes the full
+    post-landing horizon, where standing pays ~0.011/step for the rest of
+    the episode — measured on JUMPING_IN_PLACE_PPO: standing returns
+    +2.09 over 2 s vs +0.18 for a real 0.5 m jump that crashes
+    post-landing (scripts/diag_economics.py), so PPO *correctly* unlearns
+    jumping. With rest truncation the standing stream is structurally
+    removed from jumping rollouts and the within-basin gradient points
+    toward higher jumps.
+
+    Interface-compatible with QuadrupedEnv.step/reset (no wrapper state:
+    "height rose since the previous control step" falls out of comparing
+    the pre-step and post-step states); attribute access delegates to the
+    wrapped env, so the trainers use it as a drop-in env.
+    """
+
+    def __init__(self, env: QuadrupedEnv):
+        self.env = env
+
+    def __getattr__(self, name):
+        return getattr(self.env, name)
+
+    def step(self, state: EnvState, action: jnp.ndarray, **kw):
+        state2, obs, reward, done, info = self.env.step(state, action, **kw)
+        rest = (state2.task.switched_controller
+                & jnp.all(state2.feet_in_contact)
+                & ((state2.robot.pos[2] - state.robot.pos[2]) > 0))
+        return state2, obs, reward, done | rest, info
+
+    def reset(self, key, **kw):
+        return self.env.reset(key, **kw)
+
+
 def episode_metrics(rewards, infos):
     """EvaluationWrapper-style episode KPIs from stacked step outputs."""
     return {

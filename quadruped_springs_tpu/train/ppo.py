@@ -52,6 +52,15 @@ class PPOConfig:
     # the policy steps taken on them are what start eroding a warm-started
     # jumper before the trust region can help.
     freeze_actor: bool = False
+    # Freeze the running observation statistics (VecNormalize training=False,
+    # load_model.py:114-117). Essential when warm-starting from a
+    # BC/imitation policy: its obs stats carry a count of ~one demo
+    # (~100 samples), so a single 2048-sample on-policy update rescales the
+    # policy's inputs by ~95% — the policy network is a function of the
+    # NORMALIZED obs, so the behavior collapses with the weights untouched
+    # (measured: warm-started apex 0.54 -> 0.14 within 9 iterations purely
+    # from statistics drift, scripts/diag_finetune.py).
+    freeze_obs_norm: bool = False
 
 
 @struct.dataclass
@@ -185,8 +194,11 @@ class PPOTrainer:
             self.env, self._action_fn(ts.params, ts.obs_norm),
             ts.env_states, ts.obs, ts.bank, k_roll, cfg.segment_len)
 
-        obs_flat = traj["obs"].reshape(-1, self.env.obs_dim)
-        obs_norm = vnorm.update(ts.obs_norm, obs_flat)
+        if cfg.freeze_obs_norm:
+            obs_norm = ts.obs_norm
+        else:
+            obs_flat = traj["obs"].reshape(-1, self.env.obs_dim)
+            obs_norm = vnorm.update(ts.obs_norm, obs_flat)
 
         o_last = vnorm.normalize(ts.obs_norm, obs)
         _, _, last_value = self.net.apply(ts.params, o_last)
