@@ -33,11 +33,22 @@ _G = 9.81
 
 
 def collect_demo(env: QuadrupedEnv, policy_fn: Callable, key: jax.Array,
-                 max_steps: int = 200, rest_duration: float | None = None):
-    """Run one autopiloted episode, recording a demo row per control step.
+                 max_steps: int = 200, rest_duration: float | None = None,
+                 autopilot: bool = True):
+    """Run one episode, recording a demo row per control step.
 
     Args:
       policy_fn: obs -> action (the expert, e.g. a trained ARS policy).
+      autopilot: True = hand control to the landing/rest mode machine at
+        take-off (the reference's GetDemonstration + LandingWrapper2 +
+        GoToRest stack, get_demonstrations.py:39-96). False = the policy
+        drives the WHOLE episode — for experts trained with episodes long
+        enough to pay for their own landing (the pose-hold autopilot
+        cannot recover the PEA re-hop's asymmetric second touchdown;
+        landing needs state feedback — scripts/diag_bc_multi.py,
+        diag_ars_land.py). The landing flag then follows the reference's
+        landing_started semantics (switched controller & descending,
+        get_demonstration_wrapper.py:45-47), latched one-way.
     Returns:
       (rows (max_steps, row_dim), valid (max_steps,) bool, final env state)
     """
@@ -75,18 +86,28 @@ def collect_demo(env: QuadrupedEnv, policy_fn: Callable, key: jax.Array,
         pol_a = policy_fn(obs)
         ramp = jnp.minimum((rest_i + 1.0) / n_ramp, 1.0)
         rest_a = held * (1 - ramp) + ramp * rest_action
-        action = jnp.select(
-            [phase == PHASE_POLICY, phase == PHASE_TAKEOFF,
-             phase == PHASE_LANDING, phase == PHASE_REST],
-            [pol_a, held, landing_action, rest_a])
+        if autopilot:
+            action = jnp.select(
+                [phase == PHASE_POLICY, phase == PHASE_TAKEOFF,
+                 phase == PHASE_LANDING, phase == PHASE_REST],
+                [pol_a, held, landing_action, rest_a])
+        else:
+            action = pol_a
         state2, obs2, r, d2, info = env.step(state, action)
 
         t = env.sim_time(state2)
         switched = state2.task.switched_controller
-        # phase transitions (landing_wrapper.py / go_to_rest_wrapper.py)
+        # phase transitions (landing_wrapper.py / go_to_rest_wrapper.py);
+        # with autopilot=False the phase tracks the SAME milestones (for
+        # the recorded landing flag) but control stays with the policy
         new_deadline = t + state2.robot.lin_vel[2] / _G
-        enter_takeoff = (phase == PHASE_POLICY) & switched
-        phase2 = jnp.where(enter_takeoff, PHASE_TAKEOFF, phase)
+        descending = state2.robot.lin_vel[2] <= 0.0
+        enter_takeoff = ((phase == PHASE_POLICY) & switched
+                         if autopilot else
+                         (phase == PHASE_POLICY) & switched & descending)
+        phase2 = jnp.where(enter_takeoff,
+                           PHASE_TAKEOFF if autopilot else PHASE_LANDING,
+                           phase)
         peak_deadline = jnp.where(enter_takeoff, new_deadline, peak_deadline)
         held2 = jnp.where(enter_takeoff, action, held)
         phase2 = jnp.where((phase2 == PHASE_TAKEOFF) & (t >= peak_deadline),

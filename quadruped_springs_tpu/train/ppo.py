@@ -61,6 +61,20 @@ class PPOConfig:
     # (measured: warm-started apex 0.54 -> 0.14 within 9 iterations purely
     # from statistics drift, scripts/diag_finetune.py).
     freeze_obs_norm: bool = False
+    # Temporal correlation of the exploration noise: eps_t = rho*eps_{t-1}
+    # + sqrt(1-rho^2)*nu_t (AR(1); 0 = white). The reference trains RL
+    # through a 3 Hz Butterworth action filter (quadruped_gym_env.py:129,
+    # motion-imitation lineage) which low-passes the exploration noise as
+    # well as the mean; our demos already record the FILTERED mean signal,
+    # so re-filtering at execution double-lags the launch — the filter's
+    # remaining role, smoothing exploration, is provided by correlated
+    # noise instead (rho=0.9 at 100 Hz ~ the same 3 Hz bandwidth). The
+    # per-step MARGINAL stays N(mean, sigma), so the stored logp is exact
+    # per step and approximate only jointly (the standard gSDE-style
+    # treatment). Measured: white noise crashes the precision landing of a
+    # warm-started jumper in ~half the rollouts and PPO unlearns the jump
+    # within 9 iterations; see scripts/diag_e2e_v2.py.
+    noise_rho: float = 0.0
 
 
 @struct.dataclass
@@ -135,17 +149,22 @@ class PPOTrainer:
                           obs_norm=src_obs_norm)
 
     def _action_fn(self, params, obs_norm):
-        def fn(obs, key):
+        rho = self.config.noise_rho
+
+        def fn(obs, key, eps_prev):
             o = vnorm.normalize(obs_norm, obs)
             mean, log_std, value = self.net.apply(params, o)
-            eps = jax.random.normal(key, mean.shape)
+            nu = jax.random.normal(key, mean.shape)
+            # AR(1)-correlated exploration (see PPOConfig.noise_rho);
+            # rho=0 reduces to white noise. Marginal of eps stays N(0, 1).
+            eps = rho * eps_prev + jnp.sqrt(1.0 - rho * rho) * nu
             # store the UNCLIPPED sample; the rollout clips what the env
             # executes (SB3 semantics). Computing logp at the clipped
             # action makes the surrogate reward pushing the mean OUTWARD
             # to exploit clipping's variance reduction — measured here as
             # deterministic eval degrading while train reward creeps up.
             a = mean + jnp.exp(log_std) * eps
-            return a, gaussian_logp(a, mean, log_std), value
+            return a, gaussian_logp(a, mean, log_std), value, eps
         return fn
 
     def _gae(self, traj, last_value):

@@ -110,7 +110,10 @@ def segment_rollout(env: QuadrupedEnv, action_fn: Callable, states, obs,
                     bank, key: jax.Array, T: int):
     """T-step segment with auto-reset from the bank.
 
-    action_fn(obs, key) -> (action, logp, value) — vectorized over batch.
+    action_fn(obs, key, eps_prev) -> (action, logp, value, eps) —
+    vectorized over batch; `eps` is the exploration-noise state threaded
+    through the scan (AR(1)-correlated exploration, PPOConfig.noise_rho;
+    reset to zero on episode boundaries).
     Returns (states, obs, traj dict with leading time axis).
     """
     bank_states, bank_obs = bank
@@ -121,9 +124,9 @@ def segment_rollout(env: QuadrupedEnv, action_fn: Callable, states, obs,
         return (jax.tree.map(lambda a: a[idx], bank_states), bank_obs[idx])
 
     def step_one(carry, key_t):
-        states, obs = carry
+        states, obs, eps = carry
         k_act, k_reset = jax.random.split(key_t)
-        action, logp, value = action_fn(obs, k_act)
+        action, logp, value, eps2 = action_fn(obs, k_act, eps)
         # the env executes the clipped action; the stored `action` stays
         # unclipped so logp/ratio stay exact Gaussian (see PPOTrainer.
         # _action_fn — clip-at-logp distorts the learned mean)
@@ -138,10 +141,13 @@ def segment_rollout(env: QuadrupedEnv, action_fn: Callable, states, obs,
                 done.reshape((-1,) + (1,) * (new.ndim - 1)), rs, new),
             states2, r_states)
         obs3 = jnp.where(done[:, None], r_obs, obs2)
+        eps3 = jnp.where(done[:, None], 0.0, eps2)
         out = {"obs": obs, "action": action, "logp": logp, "value": value,
                "reward": r, "done": done}
-        return (states3, obs3), out
+        return (states3, obs3, eps3), out
 
     keys = jax.random.split(key, T)
-    (states, obs), traj = jax.lax.scan(step_one, (states, obs), keys)
+    eps0 = jnp.zeros((obs.shape[0], env.action_dim))
+    (states, obs, _), traj = jax.lax.scan(
+        step_one, (states, obs, eps0), keys)
     return states, obs, traj
