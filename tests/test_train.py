@@ -135,3 +135,53 @@ def test_bc_dataset_causal_pairing_and_fit():
         PPOTrainer(env, PPOConfig()).net, obs, acts,
         jax.random.PRNGKey(5), iters=300)
     assert float(mse) < 1e-3
+
+
+def test_freeze_obs_norm_holds_statistics():
+    """PPOConfig.freeze_obs_norm is the VecNormalize training=False
+    semantics needed at stage transitions: a warm-started policy is a
+    function of the NORMALIZED obs, and one on-policy update of
+    BC-count statistics rescales its inputs ~95% (measured apex
+    0.54 -> 0.14 in 9 iterations with the actor frozen,
+    scripts/diag_finetune.py)."""
+    env = _env()
+    tr = PPOTrainer(env, PPOConfig(
+        n_envs=2, segment_len=8, reset_bank_size=2, freeze_obs_norm=True))
+    ts = tr.init(jax.random.PRNGKey(0))
+    before = ts.obs_norm
+    ts2, m = tr.train_step(ts)
+    np.testing.assert_array_equal(np.asarray(before.mean),
+                                  np.asarray(ts2.obs_norm.mean))
+    np.testing.assert_array_equal(np.asarray(before.var),
+                                  np.asarray(ts2.obs_norm.var))
+    assert float(before.count) == float(ts2.obs_norm.count)
+    assert bool(jnp.isfinite(m["loss"]))
+
+
+def test_correlated_exploration_noise():
+    """noise_rho: eps_t = rho*eps_{t-1} + sqrt(1-rho^2)*nu_t with exact
+    per-step marginal (the reference smooths exploration through its
+    3 Hz action filter; white per-step noise crashes a warm-started
+    jumper's landing — scripts/diag_e2e_v2.py)."""
+    env = _env()
+    tr = PPOTrainer(env, PPOConfig(
+        n_envs=2, segment_len=8, reset_bank_size=2, noise_rho=0.9))
+    ts = tr.init(jax.random.PRNGKey(0))
+    fn = tr._action_fn(ts.params, ts.obs_norm)
+    obs = jnp.zeros((2, env.obs_dim))
+    key = jax.random.PRNGKey(1)
+    eps0 = jnp.zeros((2, env.action_dim))
+    a0, logp0, _, eps1 = fn(obs, key, eps0)
+    # same key, different noise state: action shifts by rho*sigma*delta
+    big = jnp.ones((2, env.action_dim))
+    a1, _, _, eps2 = fn(obs, key, big)
+    _, log_std, _ = tr.net.apply(ts.params, obs)
+    np.testing.assert_allclose(
+        np.asarray(a1 - a0), np.asarray(0.9 * jnp.exp(log_std) * big),
+        rtol=1e-5, atol=1e-6)
+    # AR(1) recursion of the returned noise state
+    np.testing.assert_allclose(
+        np.asarray(eps2 - eps1), np.asarray(0.9 * big), rtol=1e-5, atol=1e-6)
+    # the learner step still runs (logp marginals stay exact per step)
+    ts2, m = tr.train_step(ts)
+    assert bool(jnp.isfinite(m["kl_est"]))
