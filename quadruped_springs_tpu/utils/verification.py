@@ -82,7 +82,8 @@ def split_trace(trace: np.ndarray, action_dim: int):
     return out
 
 
-def classify_phases(ref, action_dim: int, stance_z: float | None = None):
+def classify_phases(ref, action_dim: int, stance_z: float | None = None,
+                    event_window: int = 3):
     """Label each knot of a reference trace for the phase-resolved gate.
 
     `stance_z` (the standing height that flight/impact thresholds hang
@@ -90,6 +91,16 @@ def classify_phases(ref, action_dim: int, stance_z: float | None = None):
     median z over the leading knots before the first commanded action
     change — so the labels track whatever init pose / robot config
     produced the trace instead of assuming the Go1 default stand.
+
+    `event_window` widens the impact label around each flight boundary
+    to the contact-EVENT timing tolerance (verify_against_trace's
+    tol_event_knots): the timing gate explicitly allows the two solvers'
+    toe-off/touchdown to differ by that many knots, so a knot within the
+    window can be ballistic in one sim and load-bearing in the other —
+    a timing skew the event gate already owns, which the pointwise gate
+    must not re-test (measured: the no-springs JUMPING_FORWARD trace
+    toe-off skews by exactly 3 knots and the single knot at s+2 reads a
+    41% "flight" torque deviation that is pure contact-state aliasing).
 
     0 = static (stance at rest, or ballistic flight): pointwise comparison
         between two contact solvers is meaningful — strict gate applies.
@@ -137,10 +148,11 @@ def classify_phases(ref, action_dim: int, stance_z: float | None = None):
         else:
             impact[max(s - 2, 0):min(e + 4, T)] = True
             flight[s:e] = False
+    w = event_window + 1
     for s in starts:
-        impact[max(s - 3, 0):min(s + 2, T)] = True
+        impact[max(s - w, 0):min(s + w, T)] = True
     for e in ends:
-        impact[max(e - 2, 0):min(e + 10, T)] = True
+        impact[max(e - w, 0):min(e + 10, T)] = True
     labels = np.where(flight & ~impact, 0, labels)
     labels = np.where(impact, 2, labels)
     return labels, flight, list(starts), list(ends)
@@ -189,9 +201,9 @@ def verify_against_trace(env: QuadrupedEnv, trace_path: str,
     z_got = got["pos"][:, 2]
 
     labels, flight_ref, starts_ref, ends_ref = classify_phases(
-        ref, env.action_dim)
+        ref, env.action_dim, event_window=tol_event_knots)
     _, flight_got, starts_got, ends_got = classify_phases(
-        got, env.action_dim)
+        got, env.action_dim, event_window=tol_event_knots)
 
     T = len(dev)
     first_td = min(ends_ref + ends_got) if (ends_ref or ends_got) else T
