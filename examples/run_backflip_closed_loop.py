@@ -30,7 +30,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 import jax
 
 
-def run(launch: str = "mpc", crouch_knots: int = 8, max_steps: int = 60,
+def run(launch: str = "mpc", crouch_knots: int = 6, max_steps: int = 60,
         seed: int = 0, verbose: bool = True):
     import jax.numpy as jnp
     import numpy as np
@@ -108,7 +108,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--launch", default="mpc", choices=("mpc", "script"))
-    ap.add_argument("--crouch-knots", type=int, default=8)
+    ap.add_argument("--crouch-knots", type=int, default=6)
     ap.add_argument("--max-steps", type=int, default=60)
     args = ap.parse_args()
     if args.cpu:

@@ -26,6 +26,8 @@ ap.add_argument("--kl-stop", type=float, default=0.02)
 ap.add_argument("--ft-lr", type=float, default=1e-4)
 ap.add_argument("--noise-rho", type=float, default=0.0)
 ap.add_argument("--rsi", action="store_true")
+ap.add_argument("--no-filter", action="store_true")
+ap.add_argument("--expert", default="/tmp/ars_expert_land.npz")
 args = ap.parse_args()
 if args.cpu:
     jax.config.update("jax_platforms", "cpu")
@@ -42,7 +44,7 @@ from quadruped_springs_tpu.train.networks import linear_policy_apply
 from quadruped_springs_tpu.train.ppo import PPOConfig, PPOTrainer
 from quadruped_springs_tpu.utils import demo as demo_util
 
-z = np.load("/tmp/ars_expert_land.npz")
+z = np.load(args.expert)
 W = jnp.asarray(z["W"])
 on = vnorm.RunningNorm(jnp.asarray(z["mean"]), jnp.asarray(z["var"]),
                        jnp.asarray(z["count"]))
@@ -51,7 +53,8 @@ print(f"landing expert: ret {float(z['ret']):+.3f}")
 collect_env = QuadrupedEnv(EnvConfig(
     enable_springs=True, task_env="JUMPING_IN_PLACE",
     observation_space_mode="ARS_BASIC", action_space_mode="SYMMETRIC",
-    settling_steps=600, max_ep_len=1.9, enable_action_filter=True))
+    settling_steps=600, max_ep_len=1.9,
+    enable_action_filter=not args.no_filter))
 
 
 def expert(obs):

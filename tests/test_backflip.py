@@ -35,7 +35,7 @@ def test_backflip_solver_plans_rotation_h60():
 
 def test_backflip_closed_loop_full_flip_lands_upright():
     """The full flip on the stiff executor (examples/
-    run_backflip_closed_loop.py settings): crouch ramp 8 knots, rear-biased
+    run_backflip_closed_loop.py settings): crouch ramp 6 knots, rear-biased
     launch, autopilot finishes rotation + landing."""
     env = QuadrupedEnv(EnvConfig(
         enable_springs=True, task_env="BACKFLIP",
@@ -46,8 +46,8 @@ def test_backflip_closed_loop_full_flip_lands_upright():
     launch = jnp.array([0.0, -0.3, 0.7, 0.0, -1.0, 1.0])
     state, _ = env.reset(jax.random.PRNGKey(0))
     for i in range(60):
-        frac = min((i + 1) / 8, 1.0)
-        a = frac * crouch if i < 8 else launch
+        frac = min((i + 1) / 6, 1.0)
+        a = frac * crouch if i < 6 else launch
         out = w.step(state, a)
         state = out.state
         if bool(out.done):

@@ -196,19 +196,25 @@ def test_contact_site_geometry_vs_closed_form_kinematics():
     from quadruped_springs_tpu.models import go1_params as gp
     from quadruped_springs_tpu.models import kinematics as kin
 
-    model = gp.build_model(gp.go1_config(True))
+    model = gp.build_model()
     key = jax.random.PRNGKey(3)
     for i in range(3):
         q = jax.random.uniform(jax.random.fold_in(key, i), (12,),
                                minval=-0.9, maxval=0.6)
-        state = dyn.RobotState(
-            pos=jnp.array([0.0, 0.0, 0.5]),
-            quat=jnp.array([0.0, 0.0, 0.0, 1.0]),
-            lin_vel=jnp.zeros(3), ang_vel=jnp.zeros(3), q=q, qd=jnp.zeros(12))
-        fk = dyn.forward_kinematics(model, state.q)
+        fk = dyn.leg_fk_base(model, q)
         pts_b, radii = dyn.contact_sites(model, fk)
-        # closed-form: leg-frame foot position + hip offset -> base frame
-        legf = kin.foot_position(q.reshape(4, 3))
+        # closed-form: leg-frame foot position + hip offset -> base frame.
+        # The reference carries TWO hip lateral lengths: the config's
+        # kinematic constant 0.0847 (configs_go1_with_springs.py:55, used
+        # by its analytic IK/Jacobian) vs the URDF's 0.08 thigh-joint
+        # offset (urdf:165) that the simulated tree actually has — the
+        # 4.7 mm gap is reference-faithful. The geometry check compares
+        # at the URDF length by scaling the side sign (both L1 terms of
+        # the closed form are linear in side_sign).
+        urdf_side = (q.reshape(4, 3)[..., 0] * 0 +
+                     jnp.asarray(gp.SIDE_SIGN)) * (
+                     gp.THIGH_Y_OFFSET / gp.HIP_LINK_LENGTH)
+        legf = kin.foot_position(q.reshape(4, 3), side_sign=urdf_side)
         hip = jnp.stack([jnp.asarray(gp.FRONT_SIGN) * gp.X_OFFSET,
                          jnp.asarray(gp.SIDE_SIGN) * gp.Y_OFFSET,
                          jnp.zeros(4)], axis=-1)

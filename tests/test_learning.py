@@ -36,9 +36,10 @@ def test_ppo_imitation_learns():
     """PPO imitation must close a NON-NOISE fraction of the gap between
     the random-policy floor and the perfect-imitation reward (the round-2
     gate passed on a +0.7% drift of a flat line; this one requires the
-    deterministic-policy eval return to rise by >= 0.08 absolute, ~8% of
-    the perfect return, within a short budget — the full 400-iteration
-    curve reaches ~0.9, examples/train_two_stage.py)."""
+    deterministic-policy eval return to rise by >= 0.25 absolute from the
+    ~0.54 random-policy floor toward the ~1.0 perfect return — measured
+    curve for this exact setup: 0.54 -> 0.55 @ 60 iters (the learning is
+    back-loaded), 0.85 @ 120, 0.91 @ 150)."""
     import jax.numpy as jnp
 
     from quadruped_springs_tpu.train import normalize as vnorm
@@ -75,7 +76,7 @@ def test_ppo_imitation_learns():
         return jnp.mean(rets)
 
     ev0 = float(det_eval(ts.params, ts.obs_norm))
-    for _ in range(60):
+    for _ in range(150):
         ts, m = tr.train_step(ts)
     ev1 = float(det_eval(ts.params, ts.obs_norm))
-    assert ev1 > ev0 + 0.08, (ev0, ev1)
+    assert ev1 > ev0 + 0.25, (ev0, ev1)
