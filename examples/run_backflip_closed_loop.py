@@ -8,16 +8,22 @@ fixed take-off action until the unwrapped pitch passes 5π/8, then holds
 the landing action to touchdown.
 
 Launch modes:
-  --launch mpc (default): the TRAJECTORY OPTIMIZER produces the launch —
-    the BACKFLIP-cost MPC problem is solved from the settled state (MPPI
-    on the relaxed planner model, H=24) and its solution is executed on
-    the stiff simulator through the autopilot wrapper. No hand-scripted
-    action sequence anywhere; success = unwrapped pitch >= 2π and an
-    upright landing.
+  --launch policy (default): a LEARNED linear policy produces the launch
+    (examples/policies/backflip_ars.npz, trained by
+    scripts/train_behavior_policies.py: behavior-cloned from the launch
+    demo, then ARS fine-tuned on the true sparse BACKFLIP reward with the
+    autopilot in the training loop — the reference's learn-imitate-
+    finetune methodology, load_model.py:45-47). Success = unwrapped
+    pitch >= 2π and an upright landing.
+  --launch mpc: the TRAJECTORY OPTIMIZER produces the launch — the
+    BACKFLIP-cost MPC problem is solved from the settled state (MPPI on
+    the relaxed planner model, H=24) and its solution is executed on the
+    stiff simulator through the autopilot wrapper. Completes the rotation
+    but the open-loop plan lands tilted (the violent-flip transfer gap).
   --launch script: the round-2 hand-scripted crouch + rear-biased
     extension, kept for comparison.
 
-Usage: python examples/run_backflip_closed_loop.py [--cpu] [--launch mpc]
+Usage: python examples/run_backflip_closed_loop.py [--cpu] [--launch policy]
 """
 
 import argparse
@@ -30,7 +36,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 import jax
 
 
-def run(launch: str = "mpc", crouch_knots: int = 6, max_steps: int = 60,
+POLICY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "policies", "backflip_ars.npz")
+
+
+def run(launch: str = "policy", crouch_knots: int = 6, max_steps: int = 60,
         seed: int = 0, verbose: bool = True):
     import jax.numpy as jnp
     import numpy as np
@@ -45,9 +55,19 @@ def run(launch: str = "mpc", crouch_knots: int = 6, max_steps: int = 60,
         action_space_mode="SYMMETRIC", obs_noise=False, max_ep_len=4.0))
     w = wr.LandingWrapperBackflip(env, variant="hold")
 
-    state, _ = env.reset(jax.random.PRNGKey(seed))
+    state, obs = env.reset(jax.random.PRNGKey(seed))
 
-    if launch == "mpc":
+    if launch == "policy":
+        from quadruped_springs_tpu.train import normalize as vnorm
+        from quadruped_springs_tpu.train.networks import linear_policy_apply
+
+        d = np.load(POLICY_PATH)
+        W = jnp.asarray(d["W"])
+        on = vnorm.RunningNorm(mean=jnp.asarray(d["mean"]),
+                               var=jnp.asarray(d["var"]),
+                               count=jnp.asarray(d["count"]))
+        action_at = None  # closed-loop: action computed from obs below
+    elif launch == "mpc":
         from quadruped_springs_tpu.solver import mppi
         from quadruped_springs_tpu.solver.mpc import (MPCConfig, MPCProblem,
                                                       state_to_vec)
@@ -72,8 +92,12 @@ def run(launch: str = "mpc", crouch_knots: int = 6, max_steps: int = 60,
 
     out = None
     for i in range(max_steps):
-        out = w.step(state, action_at(i))
-        state = out.state
+        if launch == "policy":
+            a = linear_policy_apply(W, vnorm.normalize(on, obs))
+        else:
+            a = action_at(i)
+        out = w.step(state, a)
+        state, obs = out.state, out.obs
         if bool(out.done):
             break
 
@@ -107,7 +131,8 @@ def run(launch: str = "mpc", crouch_knots: int = 6, max_steps: int = 60,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--launch", default="mpc", choices=("mpc", "script"))
+    ap.add_argument("--launch", default="policy",
+                    choices=("policy", "mpc", "script"))
     ap.add_argument("--crouch-knots", type=int, default=6)
     ap.add_argument("--max-steps", type=int, default=60)
     args = ap.parse_args()

@@ -36,6 +36,7 @@ def run(seed: int = 0, verbose: bool = True):
     w = wr.LandingWrapper(env)
 
     state, _ = env.reset(jax.random.PRNGKey(seed))
+    x_start = float(state.robot.pos[0])
     prob = MPCProblem(MPCConfig(task="JUMPING_FORWARD", horizon=30,
                                 iterations=8, n_alphas=4))
     mcfg = mppi.MPPIConfig(horizon=30, iterations=8, n_samples=64,
@@ -54,9 +55,16 @@ def run(seed: int = 0, verbose: bool = True):
             break
 
     ts = state.task
+    # forward distance = base x-displacement over the run (the reference's
+    # own EvaluationWrapper scores forward progress by logging base x,
+    # evaluation_wrapper.py; the task's max_forward_distance field is NOT
+    # usable after the landing hold because the reference semantics zero
+    # it on grounded steps, task_base.py:107 — faithfully reproduced in
+    # tasks.py _update_common)
     result = {
         "planned_apex_m": float(jnp.max(sol.xs[:, 2])),
-        "fwd_distance_m": float(ts.max_forward_distance),
+        "fwd_distance_m": float(state.robot.pos[0]) - x_start,
+        "task_fwd_peak_m": float(ts.max_forward_distance),
         "apex_rel_m": float(ts.relative_max_height),
         "final_z": float(state.robot.pos[2]),
         "steps": i,

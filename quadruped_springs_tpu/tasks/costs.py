@@ -123,19 +123,33 @@ def make_cost(task: str, cfg: Go1Config, action_dim: int, horizon: int):
         return stage, terminal
 
     if task.startswith("CONTINUOUS_JUMPING_FORWARD"):
-        w_v, w_h, w_pitch, w_y = 12.0, 20.0, 3.0, 4.0
+        w_v, w_h, w_pitch, w_y, w_up = 12.0, 20.0, 3.0, 4.0, 8.0
         z_ref = 0.42  # hop apex target band (min/max height 0.35-0.5)
+        # forward speed is TRACKED, not maximized: the task's per-jump
+        # scoring caps each jump's credited distance at jump_limit=0.6 m
+        # (robot_tasks.py:168-212), so the optimal gait is a ~1 m/s hop
+        # train — a raw -w_v*vx reward was measured to accelerate the
+        # robot to 8.7 m/s and roll it over within 2 s.
+        v_ref = 1.0
 
         def stage(x, u, t):
+            # soft base-height floor: crouching below ~0.24 m on touchdown
+            # drives the calf into the ground, which is an invalid-contact
+            # termination in the env (quadruped_gym_env semantics,
+            # dynamics.py contact sites 4+)
+            z_floor = jnp.maximum(0.28 - _pos(x)[2], 0.0)
             return (base_stage(x, u, t)
-                    - w_v * _vel(x)[0]
+                    + w_v * 0.25 * (_vel(x)[0] - v_ref) ** 2
                     + w_pitch * _pitch(x) ** 2
+                    + w_up * _upright(x)
+                    + 600.0 * z_floor ** 2
                     + w_y * (_pos(x)[1] ** 2 + _vel(x)[1] ** 2))
 
         def terminal(x):
             return (w_h * (_apex_height(x) - z_ref) ** 2
-                    - w_v * 5.0 * _vel(x)[0]
-                    + w_pitch * _pitch(x) ** 2)
+                    + w_v * (_vel(x)[0] - v_ref) ** 2
+                    + w_pitch * _pitch(x) ** 2
+                    + w_up * 5.0 * _upright(x))
 
         return stage, terminal
 

@@ -39,6 +39,12 @@ class ARSConfig:
     # and the reset bank samples scenarios at the current level — so the
     # domain-randomization ranges widen as training advances.
     curriculum_increase: float = 0.0
+    # Warm-started fine-tunes must NOT refresh the observation statistics:
+    # the policy is W(normalize(obs)), so rescaling the inputs under a
+    # behavior-cloned W changes the behavior with the weights untouched
+    # (the PPO fine-tune collapse root cause — same VecNormalize
+    # training=False semantics as PPOConfig.freeze_obs_norm).
+    freeze_obs_norm: bool = False
 
 
 @struct.dataclass
@@ -130,7 +136,10 @@ class ARSTrainer:
         oc = jnp.sum(mom_p[0]) + jnp.sum(mom_m[0])
         osum = jnp.sum(mom_p[1], axis=0) + jnp.sum(mom_m[1], axis=0)
         osq = jnp.sum(mom_p[2], axis=0) + jnp.sum(mom_m[2], axis=0)
-        obs_norm = vnorm.update_from_moments(ts.obs_norm, oc, osum, osq)
+        if cfg.freeze_obs_norm:
+            obs_norm = ts.obs_norm
+        else:
+            obs_norm = vnorm.update_from_moments(ts.obs_norm, oc, osum, osq)
 
         metrics = {
             "mean_return": jnp.mean(jnp.concatenate([r_plus, r_minus])),

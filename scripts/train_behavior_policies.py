@@ -1,0 +1,274 @@
+"""Train + commit the small linear ARS policies that drive the
+closed-loop behavior demos (the reference's architecture: an RL launch
+policy + the landing autopilot wrappers, landing_wrapper_backflip.py:8-81;
+the reference ships such policies as rl-zoo best_model.zip artifacts that
+load_model.py reloads — here they are committed .npz weight files that
+the tests and examples reload).
+
+The backflip recipe mirrors the reference's own two-stage methodology
+(learn -> imitate -> fine-tune, load_model.py:45-47), compressed:
+
+  1. demo collection: the known-good crouch+extend launch schedule (the
+     round-2 hand script, examples/run_backflip_closed_loop.py
+     --launch script) is rolled out with observation noise to produce
+     (obs, action) pairs — the policy only ever acts BEFORE the take-off
+     switch (the autopilot owns everything after,
+     landing_wrapper_backflip.py:47-52), so the dataset is the launch.
+  2. behavior cloning: ridge-fit the linear policy W on the normalized
+     pairs. Measured: BC alone completes the rotation (359 deg) but
+     lands on its back (up_z -0.90) — the cloned launch over-rotates.
+  3. ARS fine-tune ON THE TRUE SPARSE TASK REWARD (BackFlip,
+     robot_tasks.py:518-550: 0.4*pitch/2pi + 0.4*h + h*pitch + 0.2 if
+     upright) through the LandingWrapperBackflip autopilot, with the
+     observation statistics FROZEN (ARSConfig.freeze_obs_norm — the
+     warm-start-collapse lesson from the PPO pipeline). The +0.2 upright
+     landing term is exactly what BC lacks. Training from scratch on
+     this reward was measured to fall into the pitch-unwrap loophole
+     (a tiny forward tilt reads as 2pi - eps, eval pinned at +2.000 with
+     zero rotation); warm-started from a real flip, the true reward
+     prefers the real flip (it pays ~1.8 vs the loophole's ~0.65).
+
+Usage:
+  python scripts/train_behavior_policies.py --cpu --task backflip
+  python scripts/train_behavior_policies.py --cpu --task forward
+Writes examples/policies/<task>_ars.npz (W, obs stats, training metrics).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--cpu", action="store_true")
+ap.add_argument("--task", choices=("backflip", "forward"), required=True)
+ap.add_argument("--iters", type=int, default=60)
+args = ap.parse_args()
+if args.cpu:
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+from quadruped_springs_tpu.env import wrappers as wr
+from quadruped_springs_tpu.env.env import EnvConfig, QuadrupedEnv
+from quadruped_springs_tpu.models import spatial as sp
+from quadruped_springs_tpu.train import normalize as vnorm
+from quadruped_springs_tpu.train.ars import ARSConfig, ARSTrainer
+from quadruped_springs_tpu.train.networks import linear_policy_apply
+
+
+class AutopilotEnv:
+    """5-tuple env API over a landing-autopilot wrapper, so ARSTrainer
+    trains the policy exactly as it deploys: the policy drives the launch,
+    the autopilot owns everything after the take-off switch, and the
+    sparse task terminal reward (paid on the wrapper's internal done step)
+    is the training signal."""
+
+    def __init__(self, env, wrapper):
+        self.env = env
+        self.w = wrapper
+
+    def __getattr__(self, name):
+        return getattr(self.env, name)
+
+    def step(self, state, action, **kw):
+        out = self.w.step(state, action)
+        return (out.state, out.obs, out.reward, out.done,
+                {"max_height": out.max_height, "max_fwd": out.max_fwd})
+
+    def reset(self, key, **kw):
+        return self.env.reset(key, **kw)
+
+
+def collect_script_demo(env, action_at, n_seeds=8, max_steps=40):
+    """Roll the scripted launch until the take-off switch (+2 steps),
+    collecting (obs, action) pairs — the policy's whole deployment-time
+    responsibility."""
+    O, A = [], []
+    for seed in range(n_seeds):
+        state, obs = env.reset(jax.random.PRNGKey(seed))
+        extra = 0
+        for i in range(max_steps):
+            a = action_at(i)
+            O.append(np.asarray(obs))
+            A.append(np.asarray(a))
+            state, obs, r, done, info = env.step(state, a)
+            if bool(state.task.switched_controller):
+                extra += 1
+                if extra >= 2:
+                    break
+    return np.stack(O), np.stack(A)
+
+
+def ridge_fit(O, A, lam=1e-3):
+    mean = O.mean(0)
+    var = O.var(0) + 1e-8
+    X = (O - mean) / np.sqrt(var)
+    W = np.linalg.solve(X.T @ X + lam * np.eye(X.shape[1]), X.T @ A).T
+    return W, mean, var
+
+
+def eval_backflip(env, w, W, on, n_seeds=4, max_steps=80):
+    """Closed-loop through the autopilot on the noise-free test config."""
+    rows = []
+    for seed in range(n_seeds):
+        state, obs = env.reset(jax.random.PRNGKey(1000 + seed))
+        for i in range(max_steps):
+            a = linear_policy_apply(W, vnorm.normalize(on, obs))
+            out = w.step(state, a)
+            state, obs = out.state, out.obs
+            if bool(out.done):
+                break
+        R = np.asarray(sp.quat_to_mat(state.robot.quat))
+        rows.append({
+            "pitch_rad": float(state.task.max_pitch_bf),
+            "apex": float(state.task.relative_max_height),
+            "up_z": float(R[2, 2]),
+            "z": float(state.robot.pos[2]),
+            "reward": float(out.reward),
+        })
+    return rows
+
+
+if args.task == "backflip":
+    # training env: obs noise ON for demo diversity + robustness
+    train_cfg = EnvConfig(
+        enable_springs=True, task_env="BACKFLIP",
+        observation_space_mode="ARS_BACKFLIP",
+        action_space_mode="SYMMETRIC", obs_noise=True, max_ep_len=2.5)
+    env_t = QuadrupedEnv(train_cfg)
+
+    # -- stage 1: demo = the proven launch schedule (6-knot crouch ramp) --
+    crouch = jnp.array([0.0, 0.5, -0.9, 0.0, 0.5, -0.9])
+    launch_a = jnp.array([0.0, -0.3, 0.7, 0.0, -1.0, 1.0])
+
+    def action_at(i):
+        frac = min((i + 1) / 6, 1.0)
+        return frac * crouch if i < 6 else launch_a
+
+    O, A = collect_script_demo(env_t, action_at)
+    print(f"demo dataset: {O.shape[0]} pairs", flush=True)
+
+    # -- stage 2: behavior cloning -----------------------------------------
+    W, mean, var = ridge_fit(O, A)
+    on = vnorm.RunningNorm(mean=jnp.asarray(mean), var=jnp.asarray(var),
+                           count=jnp.asarray(float(len(O))))
+    Wj = jnp.asarray(W)
+
+    eval_env = QuadrupedEnv(EnvConfig(
+        enable_springs=True, task_env="BACKFLIP",
+        observation_space_mode="ARS_BACKFLIP",
+        action_space_mode="SYMMETRIC", obs_noise=False, max_ep_len=2.5))
+    eval_w = wr.LandingWrapperBackflip(eval_env, variant="hold")
+    for r in eval_backflip(eval_env, eval_w, Wj, on):
+        print(f"[BC] pitch {np.degrees(r['pitch_rad']):.0f} deg "
+              f"apex {r['apex']:.3f} up_z {r['up_z']:+.3f} "
+              f"reward {r['reward']:+.3f}", flush=True)
+
+    # -- stage 3: ARS fine-tune on the true sparse reward, autopilot in the
+    # loop, obs stats frozen. The autopilot's nested while_loops under a
+    # vmapped scan make ARSTrainer.train_step an XLA compile bomb
+    # (measured: >21 min and counting on this 1-CPU box), so the ARS
+    # update itself runs at Python level against the SAME jit-cached
+    # single-episode closed-loop eval used by the deployment example —
+    # algorithmically identical (ARS-v2 top-b update, frozen obs stats),
+    # just not batch-compiled.
+    train_w = wr.LandingWrapperBackflip(env_t, variant="hold")
+
+    def episode_reward(W, seed):
+        """True sparse BACKFLIP return through the autopilot, obs noise on."""
+        state, obs = env_t.reset(jax.random.PRNGKey(seed))
+        total = 0.0
+        for _ in range(40):
+            a = linear_policy_apply(W, vnorm.normalize(on, obs))
+            o = train_w.step(state, a)
+            state, obs = o.state, o.obs
+            total += float(o.reward)
+            if bool(o.done):
+                break
+        return total
+
+    def ret_W(W, seeds):
+        return float(np.mean([episode_reward(W, s) for s in seeds]))
+
+    n_dir, top_b, step_size, delta_std = 6, 3, 0.01, 0.015
+    rng = np.random.default_rng(0)
+    W_cur = np.asarray(Wj)
+
+    def score(rows):
+        # selection metric = the committed gate: full rotation AND upright
+        ok = all(r["pitch_rad"] >= 2 * np.pi - 0.1 and r["up_z"] > 0.85
+                 and r["z"] > 0.15 for r in rows)
+        return ok, float(np.mean([r["reward"] for r in rows]))
+
+    rows = eval_backflip(eval_env, eval_w, jnp.asarray(W_cur), on)
+    best = (score(rows), W_cur.copy(), on)
+    print(f"[finetune init] gate={best[0][0]} reward {best[0][1]:+.3f}",
+          flush=True)
+    for i in range(args.iters):
+        seeds = [int(rng.integers(1 << 30)) for _ in range(2)]
+        deltas = rng.normal(size=(n_dir,) + W_cur.shape) * delta_std
+        rp = np.array([ret_W(W_cur + d, seeds) for d in deltas])
+        rm = np.array([ret_W(W_cur - d, seeds) for d in deltas])
+        order = np.argsort(-np.maximum(rp, rm))[:top_b]
+        sigma = np.std(np.concatenate([rp[order], rm[order]])) + 1e-8
+        upd = np.einsum("d,dij->ij", rp[order] - rm[order], deltas[order])
+        W_cur = W_cur + step_size / delta_std * upd / (top_b * sigma)
+
+        rows = eval_backflip(eval_env, eval_w, jnp.asarray(W_cur), on)
+        sc = score(rows)
+        if sc > best[0]:
+            best = (sc, W_cur.copy(), on)
+        r0 = rows[0]
+        print(f"[backflip-ft {i:03d}] train +/- {rp.mean():+.3f}/{rm.mean():+.3f} "
+              f"gate={sc[0]} reward {sc[1]:+.3f} "
+              f"pitch {np.degrees(r0['pitch_rad']):.0f} "
+              f"up_z {r0['up_z']:+.3f} (best {best[0]})", flush=True)
+        if best[0][0] and i >= 4:
+            print("[backflip-ft] gate satisfied, stopping", flush=True)
+            break
+
+    (gate_ok, ret), W_best, on_best = best
+    os.makedirs("examples/policies", exist_ok=True)
+    out = "examples/policies/backflip_ars.npz"
+    np.savez(out, W=np.asarray(W_best), mean=np.asarray(on_best.mean),
+             var=np.asarray(on_best.var), count=np.asarray(on_best.count),
+             ret=ret, gate_ok=gate_ok)
+    print(f"saved {out} (gate={gate_ok}, mean true reward {ret:+.3f})",
+          flush=True)
+    sys.exit(0 if gate_ok else 1)
+
+# ---- forward: plain ARS on the sparse JUMPING_FORWARD task --------------
+cfg = EnvConfig(
+    enable_springs=True, task_env="JUMPING_FORWARD",
+    observation_space_mode="ARS_BASIC",
+    action_space_mode="SYMMETRIC", settling_steps=600, max_ep_len=1.9)
+env = QuadrupedEnv(cfg)
+ars = ARSTrainer(env, ARSConfig(
+    n_directions=16, top_directions=8, episode_steps=200,
+    reset_bank_size=8, step_size=0.02, delta_std=0.03))
+ts = ars.init(jax.random.PRNGKey(0))
+best = (-9.9, ts.W, ts.obs_norm)
+for i in range(args.iters):
+    ts, m = ars.train_step(ts)
+    ev = ars.evaluate(ts, n_episodes=4)
+    r = float(ev["return_mean"])
+    if r > best[0]:
+        best = (r, ts.W, ts.obs_norm)
+    if i % 10 == 9:
+        print(f"[forward {i:03d}] eval {r:+.3f} "
+              f"apex {float(ev['max_height']):.3f} "
+              f"fwd {float(ev['max_fwd']):.3f} (best ret {best[0]:+.3f})",
+              flush=True)
+
+r, W, on = best
+os.makedirs("examples/policies", exist_ok=True)
+out = "examples/policies/forward_ars.npz"
+np.savez(out, W=np.asarray(W), mean=np.asarray(on.mean),
+         var=np.asarray(on.var), count=np.asarray(on.count), ret=r)
+print(f"saved {out} (best eval return {r:+.3f})")

@@ -1,9 +1,12 @@
-"""Closed-loop behavior gates: the SOLVER (not a hand script) must drive
-the dynamic motions end-to-end on the stiff 1 kHz simulator.
+"""Closed-loop behavior gates: a SOLVER or LEARNED POLICY (not a hand
+script) must drive the dynamic motions end-to-end on the stiff 1 kHz
+simulator.
 
-  * backflip: MPPI on the BACKFLIP cost plans the launch from the settled
-    state; the LandingWrapperBackflip autopilot finishes rotation+landing
-    (reference architecture: RL launch + autopilot,
+  * backflip: a learned linear policy (behavior-cloned from the launch
+    demo, ARS fine-tuned on the true sparse BACKFLIP reward with the
+    autopilot in the loop — scripts/train_behavior_policies.py) drives
+    the launch; the LandingWrapperBackflip autopilot finishes
+    rotation+landing (reference architecture: RL launch + autopilot,
     landing_wrapper_backflip.py:8-81). Success = >=2π unwrapped pitch and
     an upright final pose.
   * jumping forward: MPPI on the JUMPING_FORWARD cost + LandingWrapper;
@@ -19,9 +22,9 @@ import pytest
 pytestmark = pytest.mark.slow
 
 
-def test_backflip_mpc_launch_full_flip_lands_upright():
+def test_backflip_policy_launch_full_flip_lands_upright():
     from examples.run_backflip_closed_loop import run
-    result, _ = run(launch="mpc", verbose=False)
+    result, _ = run(launch="policy", verbose=False)
     assert result["full_rotation"], result
     assert result["upright"], result
 
