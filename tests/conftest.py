@@ -35,6 +35,33 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 import pytest  # noqa: E402
 
 
+def env_factory(**defaults):
+    """Memoized QuadrupedEnv factory for test modules.
+
+    QuadrupedEnv's jitted methods key on the INSTANCE (static self), so
+    two envs built from identical configs re-trace the whole scalarized
+    dynamics graph twice — and tracing/lowering, not XLA backend compile,
+    dominates this suite's wall time (measured: cold-persistent-cache
+    17:52 vs warm 16:45 for the fast tier — the persistent cache only
+    skips backend compile). Returning the SAME instance for identical
+    kwargs converts those re-traces into in-memory jit-cache hits.
+    Sharing is safe: the env is functional (reset/step are pure)."""
+    from functools import lru_cache
+
+    from quadruped_springs_tpu.env.env import EnvConfig, QuadrupedEnv
+
+    @lru_cache(maxsize=None)
+    def _cached(items):
+        kw = dict(defaults)
+        kw.update(dict(items))
+        return QuadrupedEnv(EnvConfig(**kw))
+
+    def make(**kw):
+        return _cached(tuple(sorted(kw.items())))
+
+    return make
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_between_modules():
     """Free compiled executables after each test module.

@@ -9,6 +9,13 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
+# slow tier: spawning two jax.distributed CPU processes costs ~107 s on
+# this 1-CPU container — an infrastructure gate, not an iterate-on-code
+# gate (docs/TEST_BUDGET.md)
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "scripts", "dcn_worker.py")
 

@@ -12,17 +12,16 @@ from quadruped_springs_tpu.models.go1_params import go1_config
 from quadruped_springs_tpu.sensors import sensors as sn
 
 
-def _env(**kw):
-    defaults = dict(
-        enable_springs=True,
-        motor_control_mode="PD",
-        action_space_mode="SYMMETRIC",
-        task_env="JUMPING_IN_PLACE",
-        observation_space_mode="ARS_BASIC",
-        settling_steps=600,  # shorter settle for tests
-    )
-    defaults.update(kw)
-    return QuadrupedEnv(EnvConfig(**defaults))
+from tests.conftest import env_factory
+
+_env = env_factory(
+    enable_springs=True,
+    motor_control_mode="PD",
+    action_space_mode="SYMMETRIC",
+    task_env="JUMPING_IN_PLACE",
+    observation_space_mode="ARS_BASIC",
+    settling_steps=600,  # shorter settle for tests
+)
 
 
 def test_reset_settles_standing():

@@ -13,14 +13,13 @@ from quadruped_springs_tpu.utils import demo as demo_util
 from quadruped_springs_tpu.utils import monitor
 
 
-def _env(**kw):
-    defaults = dict(
-        enable_springs=True, task_env="JUMPING_IN_PLACE",
-        observation_space_mode="ARS_BASIC", action_space_mode="SYMMETRIC",
-        settling_steps=300, max_ep_len=2.0,
-    )
-    defaults.update(kw)
-    return QuadrupedEnv(EnvConfig(**defaults))
+from tests.conftest import env_factory
+
+_env = env_factory(
+    enable_springs=True, task_env="JUMPING_IN_PLACE",
+    observation_space_mode="ARS_BASIC", action_space_mode="SYMMETRIC",
+    settling_steps=300, max_ep_len=2.0,
+)
 
 
 # ---------------------------------------------------------------------------

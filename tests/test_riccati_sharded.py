@@ -4,8 +4,15 @@ reproduce the sequential backward sweep's gains on the 8-device CPU mesh
 
 import numpy as np
 
+import pytest
+
 import jax
 import jax.numpy as jnp
+
+# slow tier: each sharded 8-device backward costs 30-40 s of
+# trace+compile on this 1-CPU container; the sequence-parallel option it
+# gates is exercised nowhere else in the fast loop (docs/TEST_BUDGET.md)
+pytestmark = pytest.mark.slow
 
 from quadruped_springs_tpu.parallel.mesh import scenario_mesh
 from quadruped_springs_tpu.parallel.riccati import sharded_lqt_backward

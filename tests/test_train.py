@@ -14,14 +14,13 @@ from quadruped_springs_tpu.train.ars import ARSConfig, ARSTrainer
 from quadruped_springs_tpu.train.ppo import PPOConfig, PPOTrainer
 
 
-def _env(**kw):
-    defaults = dict(
-        enable_springs=True, task_env="JUMPING_IN_PLACE_PPO",
-        observation_space_mode="PPO_BASIC", action_space_mode="SYMMETRIC",
-        settling_steps=50, max_ep_len=0.5,
-    )
-    defaults.update(kw)
-    return QuadrupedEnv(EnvConfig(**defaults))
+from tests.conftest import env_factory
+
+_env = env_factory(
+    enable_springs=True, task_env="JUMPING_IN_PLACE_PPO",
+    observation_space_mode="PPO_BASIC", action_space_mode="SYMMETRIC",
+    settling_steps=50, max_ep_len=0.5,
+)
 
 
 def test_running_norm_matches_numpy():

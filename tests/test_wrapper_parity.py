@@ -11,18 +11,17 @@ from quadruped_springs_tpu.env.env import EnvConfig, QuadrupedEnv
 from quadruped_springs_tpu.env import wrappers as wr
 
 
-def _env(**kw):
-    defaults = dict(
-        enable_springs=True,
-        motor_control_mode="PD",
-        action_space_mode="SYMMETRIC",
-        task_env="JUMPING_IN_PLACE",
-        observation_space_mode="ARS_BASIC",
-        settling_steps=600,
-        max_ep_len=1.0,
-    )
-    defaults.update(kw)
-    return QuadrupedEnv(EnvConfig(**defaults))
+from tests.conftest import env_factory
+
+_env = env_factory(
+    enable_springs=True,
+    motor_control_mode="PD",
+    action_space_mode="SYMMETRIC",
+    task_env="JUMPING_IN_PLACE",
+    observation_space_mode="ARS_BASIC",
+    settling_steps=600,
+    max_ep_len=1.0,
+)
 
 
 # -- GoToRestWrapper (go_to_rest_wrapper.py:43-95) -------------------------
