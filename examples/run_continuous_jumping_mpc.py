@@ -24,11 +24,12 @@ import jax
 
 
 def run(seconds: float = 6.0, replan_every: int = 2, seed: int = 0,
-        verbose: bool = True):
+        verbose: bool = True, render_to: str | None = None):
     import jax.numpy as jnp
     import numpy as np
 
     from quadruped_springs_tpu.env.env import EnvConfig, QuadrupedEnv
+    from quadruped_springs_tpu.models import spatial as sp
     from quadruped_springs_tpu.solver import mppi
     from quadruped_springs_tpu.solver.mpc import (MPCConfig, MPCProblem,
                                                   state_to_vec)
@@ -48,6 +49,7 @@ def run(seconds: float = 6.0, replan_every: int = 2, seed: int = 0,
     key = jax.random.PRNGKey(seed + 1)
     n_steps = int(seconds * 100)
     zs, xs_track = [], []
+    rec_q, rec_pos, rec_rpy = [], [], []
     for t in range(n_steps):
         x = state_to_vec(state.robot)
         if t % replan_every == 0:
@@ -59,6 +61,10 @@ def run(seconds: float = 6.0, replan_every: int = 2, seed: int = 0,
         state, _, _, done, _ = env.step(state, action)
         zs.append(float(state.robot.pos[2]))
         xs_track.append(float(state.robot.pos[0]))
+        if render_to is not None:
+            rec_q.append(np.asarray(state.robot.q))
+            rec_pos.append(np.asarray(state.robot.pos))
+            rec_rpy.append(np.asarray(sp.quat_to_rpy(state.robot.quat)))
         if bool(done):
             break
 
@@ -78,6 +84,15 @@ def run(seconds: float = 6.0, replan_every: int = 2, seed: int = 0,
         "final_z_m": round(zs[-1], 3) if zs else 0.0,
         "max_z_m": round(max(zs), 3) if zs else 0.0,
     }
+    if render_to is not None:
+        from quadruped_springs_tpu.utils import render
+        recs = {"q": np.stack(rec_q), "base_pos": np.stack(rec_pos),
+                "base_rpy": np.stack(rec_rpy),
+                "valid": np.ones(len(rec_q), bool)}
+        os.makedirs(os.path.dirname(render_to) or ".", exist_ok=True)
+        out["video"] = render.render_rollout(
+            recs, render_to, camera_mode="CONTINUOUS_JUMPING_FORWARD",
+            stride=3)
     if verbose:
         print(json.dumps(out, indent=2))
     return out, state
@@ -88,10 +103,13 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--seconds", type=float, default=6.0)
     ap.add_argument("--replan-every", type=int, default=2)
+    ap.add_argument("--render-to", default=None,
+                    help="optional gif/mp4 path (stick-figure renderer, "
+                         "CONTINUOUS_JUMPING_FORWARD camera track)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    run(args.seconds, args.replan_every)
+    run(args.seconds, args.replan_every, render_to=args.render_to)
 
 
 if __name__ == "__main__":
