@@ -262,7 +262,11 @@ def solve_star(A, B, D, rhs_base, rhs_joints, eps: float = 1e-9):
 # feeds the invalid-contact termination (quadruped.py:224-258).
 # ---------------------------------------------------------------------------
 
-KNEE_RADIUS = 0.02
+KNEE_RADIUS = 0.008  # urdf calf collision = 0.213x0.016x0.016 box
+# (urdf:206-211): 8 mm half-thickness at the knee end. A 0.02 sphere
+# was measured to FALSELY terminate upright backflip landings (rear
+# knee grazes ground by 1-2 mm in the deep landing crouch), withholding
+# the reference's +0.2 upright bonus (robot_tasks.py:546-549).
 TRUNK_RADIUS = 0.055
 TRUNK_CORNERS = jnp.array([
     [0.18, 0.065, 0.0], [0.18, -0.065, 0.0],

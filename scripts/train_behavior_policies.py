@@ -47,6 +47,13 @@ ap = argparse.ArgumentParser()
 ap.add_argument("--cpu", action="store_true")
 ap.add_argument("--task", choices=("backflip", "forward"), required=True)
 ap.add_argument("--iters", type=int, default=60)
+ap.add_argument("--robust", action="store_true",
+                help="backflip: continue the fine-tune under full domain "
+                     "randomization (TEST_RANDOMIZER masses/springs/ground "
+                     "+ obs noise), warm-started from the committed policy. "
+                     "Measured before: rotation is already 12/12 robust but "
+                     "the landing tilt misses the 0.85 upright bar on 11/12 "
+                     "randomized scenarios.")
 args = ap.parse_args()
 if args.cpu:
     jax.config.update("jax_platforms", "cpu")
@@ -136,11 +143,13 @@ def eval_backflip(env, w, W, on, n_seeds=4, max_steps=80):
 
 
 if args.task == "backflip":
-    # training env: obs noise ON for demo diversity + robustness
+    # training env: obs noise ON for demo diversity + robustness; --robust
+    # adds the full randomizer stack (the reference's training condition)
     train_cfg = EnvConfig(
         enable_springs=True, task_env="BACKFLIP",
         observation_space_mode="ARS_BACKFLIP",
-        action_space_mode="SYMMETRIC", obs_noise=True, max_ep_len=2.5)
+        action_space_mode="SYMMETRIC", obs_noise=True, max_ep_len=2.5,
+        env_randomizer_mode="TEST_RANDOMIZER" if args.robust else "GROUND_RANDOMIZER")
     env_t = QuadrupedEnv(train_cfg)
 
     # -- stage 1: demo = the proven launch schedule (6-knot crouch ramp) --
@@ -151,22 +160,36 @@ if args.task == "backflip":
         frac = min((i + 1) / 6, 1.0)
         return frac * crouch if i < 6 else launch_a
 
-    O, A = collect_script_demo(env_t, action_at)
-    print(f"demo dataset: {O.shape[0]} pairs", flush=True)
+    if args.robust:
+        # continue from the committed nominal policy; robustness training
+        # only has to harden the landing tilt, not re-find the flip
+        d = np.load("examples/policies/backflip_ars.npz")
+        Wj = jnp.asarray(d["W"])
+        on = vnorm.RunningNorm(mean=jnp.asarray(d["mean"]),
+                               var=jnp.asarray(d["var"]),
+                               count=jnp.asarray(d["count"]))
+    else:
+        O, A = collect_script_demo(env_t, action_at)
+        print(f"demo dataset: {O.shape[0]} pairs", flush=True)
 
-    # -- stage 2: behavior cloning -----------------------------------------
-    W, mean, var = ridge_fit(O, A)
-    on = vnorm.RunningNorm(mean=jnp.asarray(mean), var=jnp.asarray(var),
-                           count=jnp.asarray(float(len(O))))
-    Wj = jnp.asarray(W)
+        # -- stage 2: behavior cloning -------------------------------------
+        W, mean, var = ridge_fit(O, A)
+        on = vnorm.RunningNorm(mean=jnp.asarray(mean), var=jnp.asarray(var),
+                               count=jnp.asarray(float(len(O))))
+        Wj = jnp.asarray(W)
 
+    # eval env: the committed gate's condition, plus the randomizer stack
+    # in robust mode (success must hold across randomized scenarios then)
     eval_env = QuadrupedEnv(EnvConfig(
         enable_springs=True, task_env="BACKFLIP",
         observation_space_mode="ARS_BACKFLIP",
-        action_space_mode="SYMMETRIC", obs_noise=False, max_ep_len=2.5))
+        action_space_mode="SYMMETRIC", obs_noise=args.robust,
+        env_randomizer_mode="TEST_RANDOMIZER" if args.robust else "GROUND_RANDOMIZER",
+        max_ep_len=2.5))
     eval_w = wr.LandingWrapperBackflip(eval_env, variant="hold")
-    for r in eval_backflip(eval_env, eval_w, Wj, on):
-        print(f"[BC] pitch {np.degrees(r['pitch_rad']):.0f} deg "
+    n_eval = 6 if args.robust else 4
+    for r in eval_backflip(eval_env, eval_w, Wj, on, n_seeds=n_eval):
+        print(f"[init] pitch {np.degrees(r['pitch_rad']):.0f} deg "
               f"apex {r['apex']:.3f} up_z {r['up_z']:+.3f} "
               f"reward {r['reward']:+.3f}", flush=True)
 
@@ -201,15 +224,17 @@ if args.task == "backflip":
     W_cur = np.asarray(Wj)
 
     def score(rows):
-        # selection metric = the committed gate: full rotation AND upright
-        ok = all(r["pitch_rad"] >= 2 * np.pi - 0.1 and r["up_z"] > 0.85
-                 and r["z"] > 0.15 for r in rows)
-        return ok, float(np.mean([r["reward"] for r in rows]))
+        # selection metric = the committed gate, counted per scenario:
+        # (n scenarios passing full-rotation AND upright, mean true reward)
+        n_ok = sum(r["pitch_rad"] >= 2 * np.pi - 0.1 and r["up_z"] > 0.85
+                   and r["z"] > 0.15 for r in rows)
+        return n_ok, float(np.mean([r["reward"] for r in rows]))
 
-    rows = eval_backflip(eval_env, eval_w, jnp.asarray(W_cur), on)
+    rows = eval_backflip(eval_env, eval_w, jnp.asarray(W_cur), on,
+                         n_seeds=n_eval)
     best = (score(rows), W_cur.copy(), on)
-    print(f"[finetune init] gate={best[0][0]} reward {best[0][1]:+.3f}",
-          flush=True)
+    print(f"[finetune init] gate={best[0][0]}/{n_eval} "
+          f"reward {best[0][1]:+.3f}", flush=True)
     for i in range(args.iters):
         seeds = [int(rng.integers(1 << 30)) for _ in range(2)]
         deltas = rng.normal(size=(n_dir,) + W_cur.shape) * delta_std
@@ -220,27 +245,31 @@ if args.task == "backflip":
         upd = np.einsum("d,dij->ij", rp[order] - rm[order], deltas[order])
         W_cur = W_cur + step_size / delta_std * upd / (top_b * sigma)
 
-        rows = eval_backflip(eval_env, eval_w, jnp.asarray(W_cur), on)
+        rows = eval_backflip(eval_env, eval_w, jnp.asarray(W_cur), on,
+                             n_seeds=n_eval)
         sc = score(rows)
         if sc > best[0]:
             best = (sc, W_cur.copy(), on)
         r0 = rows[0]
         print(f"[backflip-ft {i:03d}] train +/- {rp.mean():+.3f}/{rm.mean():+.3f} "
-              f"gate={sc[0]} reward {sc[1]:+.3f} "
+              f"gate={sc[0]}/{n_eval} reward {sc[1]:+.3f} "
               f"pitch {np.degrees(r0['pitch_rad']):.0f} "
               f"up_z {r0['up_z']:+.3f} (best {best[0]})", flush=True)
-        if best[0][0] and i >= 4:
-            print("[backflip-ft] gate satisfied, stopping", flush=True)
+        if best[0][0] == n_eval and i >= 4:
+            print("[backflip-ft] gate satisfied on all scenarios, stopping",
+                  flush=True)
             break
 
-    (gate_ok, ret), W_best, on_best = best
+    (n_ok_best, ret), W_best, on_best = best
+    gate_ok = n_ok_best == n_eval
     os.makedirs("examples/policies", exist_ok=True)
-    out = "examples/policies/backflip_ars.npz"
+    out = ("examples/policies/backflip_ars_robust.npz" if args.robust
+           else "examples/policies/backflip_ars.npz")
     np.savez(out, W=np.asarray(W_best), mean=np.asarray(on_best.mean),
              var=np.asarray(on_best.var), count=np.asarray(on_best.count),
              ret=ret, gate_ok=gate_ok)
-    print(f"saved {out} (gate={gate_ok}, mean true reward {ret:+.3f})",
-          flush=True)
+    print(f"saved {out} (gate={n_ok_best}/{n_eval}, "
+          f"mean true reward {ret:+.3f})", flush=True)
     sys.exit(0 if gate_ok else 1)
 
 # ---- forward: plain ARS on the sparse JUMPING_FORWARD task --------------
