@@ -69,29 +69,6 @@ from quadruped_springs_tpu.train.ars import ARSConfig, ARSTrainer
 from quadruped_springs_tpu.train.networks import linear_policy_apply
 
 
-class AutopilotEnv:
-    """5-tuple env API over a landing-autopilot wrapper, so ARSTrainer
-    trains the policy exactly as it deploys: the policy drives the launch,
-    the autopilot owns everything after the take-off switch, and the
-    sparse task terminal reward (paid on the wrapper's internal done step)
-    is the training signal."""
-
-    def __init__(self, env, wrapper):
-        self.env = env
-        self.w = wrapper
-
-    def __getattr__(self, name):
-        return getattr(self.env, name)
-
-    def step(self, state, action, **kw):
-        out = self.w.step(state, action)
-        return (out.state, out.obs, out.reward, out.done,
-                {"max_height": out.max_height, "max_fwd": out.max_fwd})
-
-    def reset(self, key, **kw):
-        return self.env.reset(key, **kw)
-
-
 def collect_script_demo(env, action_at, n_seeds=8, max_steps=40):
     """Roll the scripted launch until the take-off switch (+2 steps),
     collecting (obs, action) pairs — the policy's whole deployment-time
