@@ -29,9 +29,10 @@ def test_backflip_policy_launch_full_flip_lands_upright():
     assert result["upright"], result
 
 
-def test_jumping_forward_mpc_clears_distance():
+@pytest.mark.parametrize("driver", ["mpc", "policy"])
+def test_jumping_forward_clears_distance(driver):
     from examples.run_jumping_forward_mpc import run
-    result, state = run(verbose=False)
+    result, state = run(verbose=False, driver=driver)
     assert result["fwd_distance_m"] >= 0.30, result
     assert result["apex_rel_m"] >= 0.10, result
     assert result["final_z"] > 0.15, result
