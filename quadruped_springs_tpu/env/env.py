@@ -67,6 +67,19 @@ class EnvConfig:
     settling_steps: int = 2500
     max_ep_len: float = EPISODE_LENGTH
     obs_noise: bool = True
+    # *_DEMO reward normalization. "remaining" is reference-faithful:
+    # r / (demo_len - demo_start) (task_base.py:183-211). "full" divides by
+    # the full demo length instead — with uniform RSI starts the remaining
+    # normalization makes the SAME physical state carry rewards differing
+    # by up to demo_len× across episodes (delta=3 vs 185 -> 60x at real
+    # demo scale, only 5x in the 40-step hermetic test), which the critic
+    # cannot represent (the obs carries no demo index), so GAE advantages
+    # acquire a per-episode bias that reinforces late-start (landing/rest)
+    # episodes and erodes the launch — the measured round-3 failure mode
+    # (probe apex 1.09 -> 0.57 over 100 polish iters). "full" makes the
+    # reward a state-action function again; gamma=0.3 already makes
+    # episode-length return differences irrelevant.
+    demo_norm: str = "remaining"
 
 
 @struct.dataclass
@@ -354,7 +367,8 @@ class QuadrupedEnv:
         task_state = tk.task_on_step(self.task_def, state.task, ctx)
         state = state.replace(task=task_state)
         reward = tk.task_reward(self.task_def, task_state, ctx,
-                                self.demo_actions, self.demo_len)
+                                self.demo_actions, self.demo_len,
+                                demo_norm=self.config.demo_norm)
         task_term = tk.task_terminated(self.task_def, task_state, ctx, self.demo_len)
         timeout = self.sim_time(state) > cfgc.max_ep_len
         done = task_term | timeout

@@ -389,7 +389,8 @@ def _rew_smoothing(td: TaskDef, ts: TaskState):
 
 def task_reward(td: TaskDef, ts: TaskState, ctx: TaskCtx,
                 demo_actions: jnp.ndarray | None = None,
-                demo_len: int | None = None) -> jnp.ndarray:
+                demo_len: int | None = None,
+                demo_norm: str = "remaining") -> jnp.ndarray:
     """Per-step reward (TaskBase._reward). Sparse tasks return 0."""
     k = td.kind
     if k in ("no_task", "sparse", "continuous", "backflip"):
@@ -403,7 +404,13 @@ def task_reward(td: TaskDef, ts: TaskState, ctx: TaskCtx,
         idx = jnp.clip(ts.demo_counter - 1, 0, demo_actions.shape[0] - 1)
         a_demo = demo_actions[idx]
         r = jnp.exp(-0.35 * _norm(a_demo - ctx.last_action))
-        delta = jnp.maximum(jnp.float32(demo_len) - ts.demo_start, 1.0)
+        if demo_norm == "full":
+            # state-consistent normalization for RSI training — see
+            # EnvConfig.demo_norm for the measured failure mode of the
+            # reference's remaining-steps formula at real demo lengths
+            delta = jnp.float32(demo_len)
+        else:
+            delta = jnp.maximum(jnp.float32(demo_len) - ts.demo_start, 1.0)
         return r / delta
 
     rew_h = td.k_h * _clipped_height(td, ctx)

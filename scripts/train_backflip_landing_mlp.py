@@ -1,0 +1,297 @@
+"""Robust backflip, round 4: break the linear-policy ceiling on LANDING
+(VERDICT r3 next #2).
+
+Round-3 finding (docs/ROUND3.md): under the full TEST_RANDOMIZER stack the
+learned linear launch completes the ROTATION 12/12, but strict upright
+landing (up_z>0.85 & z>0.15) holds on only ~4/12 — the all-or-nothing
++0.2 upright bonus starves the gradient and the LINEAR policy class
+cannot express the touchdown recovery. This script trains a small-MLP
+LANDING policy while the launch stays the committed linear policy
+(examples/policies/backflip_ars.npz):
+
+  phase 1  touchdown bank: run the frozen launch through the v2
+           "until_grounded" autopilot (landing_wrapper_backflip2.py:50,
+           72-83 — control RETURNS to the policy after touchdown) on
+           randomized scenarios, and cache the EnvState at the instant
+           control returns. The stabilization segment contains no
+           autopilot, so from here everything is plain env.step — fully
+           vmap/scan/jit-able (the round-3 Python-level ARS loop existed
+           only because the autopilot's nested while_loops compile-bomb
+           under vmapped scan; the segment that actually needs training
+           doesn't have that problem).
+  phase 2  batched ARS on the MLP over the bank with a SHAPED objective
+           (per-step up_z + stand-height + survive, terminal strict-
+           upright bonus) — the dense signal the sparse +0.2 bonus lacks.
+           Init = b2 at the landing action with W2 zeroed, i.e. exactly
+           the round-3 "hold the landing action" behavior, so training
+           starts at the 4/12 baseline and can only be selected upward.
+  phase 3  held-out end-to-end validation: 12 fresh randomized scenarios
+           through launch+autopilot+MLP; save bars (VERDICT r3 #2):
+           nominal 4/4, fresh rotation 12/12, fresh strict upright >= 10/12.
+
+Writes examples/policies/backflip_landing_mlp.npz.
+Usage: python scripts/train_backflip_landing_mlp.py [--cpu] [--iters 200]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--cpu", action="store_true")
+ap.add_argument("--iters", type=int, default=200)
+ap.add_argument("--bank", type=int, default=64)
+ap.add_argument("--train-states", type=int, default=16,
+                help="bank states per ARS direction evaluation")
+ap.add_argument("--horizon", type=int, default=100,
+                help="stabilization rollout length (control steps)")
+ap.add_argument("--hidden", type=int, default=32)
+ap.add_argument("--n-dir", type=int, default=16)
+ap.add_argument("--step-size", type=float, default=0.02)
+ap.add_argument("--delta-std", type=float, default=0.03)
+ap.add_argument("--out", default="examples/policies/backflip_landing_mlp.npz")
+ap.add_argument("--no-save-gate", action="store_true",
+                help="save even if validation bars fail (for diagnosis)")
+args = ap.parse_args()
+if args.cpu:
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.flatten_util
+import jax.numpy as jnp
+import numpy as np
+
+from quadruped_springs_tpu.env import wrappers as wr
+from quadruped_springs_tpu.env.env import EnvConfig, QuadrupedEnv
+from quadruped_springs_tpu.models import spatial as sp
+from quadruped_springs_tpu.train import normalize as vnorm
+from quadruped_springs_tpu.train.networks import linear_policy_apply
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LAUNCH_PATH = os.path.join(HERE, "examples/policies/backflip_ars.npz")
+
+env = QuadrupedEnv(EnvConfig(
+    enable_springs=True, task_env="BACKFLIP",
+    observation_space_mode="ARS_BACKFLIP", action_space_mode="SYMMETRIC",
+    obs_noise=True, max_ep_len=4.0, env_randomizer_mode="TEST_RANDOMIZER"))
+w = wr.LandingWrapperBackflip(env, variant="until_grounded")
+
+d = np.load(LAUNCH_PATH)
+W_launch = jnp.asarray(d["W"])
+on = vnorm.RunningNorm(mean=jnp.asarray(d["mean"]),
+                       var=jnp.asarray(d["var"]),
+                       count=jnp.asarray(d["count"]))
+
+Z_STAND = 0.30  # nominal standing height (init pos z=0.32, crouch ~0.26)
+
+
+def mlp_init(key, obs_dim, hidden, landing_action):
+    k1, = jax.random.split(key, 1)
+    return {
+        "W1": 0.1 * jax.random.normal(k1, (hidden, obs_dim)),
+        "b1": jnp.zeros((hidden,)),
+        "W2": jnp.zeros((6, hidden)),
+        # start exactly at "hold the landing action" — the round-3
+        # autopilot behavior (measured 4/12 strict upright)
+        "b2": jnp.asarray(landing_action),
+    }
+
+
+def mlp_apply(p, o):
+    h = jnp.tanh(p["W1"] @ o + p["b1"])
+    return jnp.clip(p["W2"] @ h + p["b2"], -1.0, 1.0)
+
+
+# ---- phase 1: touchdown bank -------------------------------------------
+
+def run_to_touchdown(seed):
+    """Frozen linear launch until the autopilot returns control; returns
+    (state, obs, ok_rotation, done_during_flip)."""
+    state, obs = env.reset(jax.random.PRNGKey(seed))
+    wstate = w.init_state()
+    for i in range(40):
+        a = linear_policy_apply(W_launch, vnorm.normalize(on, obs))
+        out, new_w = w.step(state, a, wstate)
+        state, obs = out.state, out.obs
+        fired = bool(wstate.armed) and not bool(new_w.armed)
+        wstate = new_w
+        if fired:
+            rot = float(state.task.max_pitch_bf) >= 2 * np.pi - 0.1
+            return state, obs, rot, bool(out.done)
+        if bool(out.done):
+            return state, obs, False, True
+    return state, obs, False, True
+
+
+print("collecting touchdown bank...", flush=True)
+t0 = time.time()
+bank_states, bank_obs, n_try = [], [], 0
+seed = 0
+while len(bank_states) < args.bank and n_try < 4 * args.bank:
+    st, ob, rot, crashed = run_to_touchdown(seed)
+    seed += 1
+    n_try += 1
+    if rot and not crashed:
+        bank_states.append(st)
+        bank_obs.append(ob)
+print(f"bank: {len(bank_states)}/{n_try} scenarios completed the flip "
+      f"({time.time() - t0:.0f}s)", flush=True)
+bank = jax.tree.map(lambda *xs: jnp.stack(xs), *bank_states)
+bank_obs = jnp.stack(bank_obs)
+n_train = int(0.75 * len(bank_states))
+idx_train = jnp.arange(n_train)
+idx_val = jnp.arange(n_train, len(bank_states))
+
+
+# ---- phase 2: batched ARS on the shaped stabilization objective --------
+
+def stab_score(params, state0, obs0):
+    """Shaped stabilization return from one touchdown state (jit/vmap)."""
+    def step(carry, _):
+        state, obs, done_ever = carry
+        a = mlp_apply(params, vnorm.normalize(on, obs))
+        state2, obs2, r, d, info = env.step(state, a)
+        alive = ~done_ever
+        up_z = sp.quat_to_mat(state2.robot.quat)[2, 2]
+        z = state2.robot.pos[2]
+        shaped = jnp.where(
+            alive,
+            0.4 * jnp.clip(up_z, 0.0, 1.0)
+            + 0.3 * jnp.exp(-20.0 * (z - Z_STAND) ** 2) + 0.3,
+            0.0) / args.horizon
+        done_ever = done_ever | d
+        return (state2, obs2, done_ever), (shaped, up_z, z)
+
+    (state_f, _, done_ever), (rews, up_zs, zs) = jax.lax.scan(
+        step, (state0, obs0, jnp.asarray(False)), None, length=args.horizon)
+    up_f = sp.quat_to_mat(state_f.robot.quat)[2, 2]
+    strict = (~done_ever) & (up_f > 0.85) & (state_f.robot.pos[2] > 0.15)
+    total = jnp.sum(rews) + jnp.where(strict, 1.0, 0.0)
+    return total, strict
+
+
+score_batch = jax.jit(jax.vmap(stab_score, in_axes=(None, 0, 0)))
+
+
+def eval_params(params, idx):
+    sub = jax.tree.map(lambda a: a[idx], bank)
+    tot, strict = score_batch(params, sub, bank_obs[idx])
+    return float(jnp.mean(tot)), float(jnp.mean(strict.astype(jnp.float32)))
+
+
+obs_dim = bank_obs.shape[1]
+params = mlp_init(jax.random.PRNGKey(3), obs_dim, args.hidden,
+                  env.get_landing_action())
+flat0, unravel = jax.flatten_util.ravel_pytree(params)
+print(f"MLP: obs {obs_dim} -> {args.hidden} -> 6 ({flat0.size} params)",
+      flush=True)
+
+
+@jax.jit
+def ars_returns(flat_params_batch, idx):
+    """Mean shaped return for each perturbed parameter vector."""
+    sub = jax.tree.map(lambda a: a[idx], bank)
+    obs_sub = bank_obs[idx]
+
+    def one(fp):
+        tot, _ = jax.vmap(stab_score, in_axes=(None, 0, 0))(
+            unravel(fp), sub, obs_sub)
+        return jnp.mean(tot)
+
+    return jax.vmap(one)(flat_params_batch)
+
+
+rng = np.random.default_rng(0)
+flat = np.asarray(flat0)
+t0, b0 = eval_params(params, idx_train)
+v0, vs0 = eval_params(params, idx_val)
+best = (vs0, v0, flat.copy())
+print(f"[init] train shaped {t0:.3f} strict {b0:.2f} | "
+      f"val shaped {v0:.3f} strict {vs0:.2f}", flush=True)
+t_start = time.time()
+for i in range(args.iters):
+    deltas = rng.normal(size=(args.n_dir, flat.size)).astype(np.float32)
+    idx = jnp.asarray(rng.choice(n_train, args.train_states, replace=False))
+    cand = np.concatenate([flat[None] + args.delta_std * deltas,
+                           flat[None] - args.delta_std * deltas])
+    rets = np.asarray(ars_returns(jnp.asarray(cand), idx))
+    rp, rm = rets[:args.n_dir], rets[args.n_dir:]
+    order = np.argsort(-np.maximum(rp, rm))[:args.n_dir // 2]
+    sigma = np.std(np.concatenate([rp[order], rm[order]])) + 1e-8
+    flat = flat + args.step_size / (len(order) * sigma) * (
+        (rp[order] - rm[order]) @ deltas[order])
+    if i % 10 == 9:
+        tr, ts_ = eval_params(unravel(jnp.asarray(flat)), idx_train)
+        vv, vs = eval_params(unravel(jnp.asarray(flat)), idx_val)
+        if (vs, vv) > best[:2]:
+            best = (vs, vv, flat.copy())
+        print(f"[ars {i:03d}] train shaped {tr:.3f} strict {ts_:.2f} | "
+              f"val shaped {vv:.3f} strict {vs:.2f} "
+              f"(best {best[0]:.2f}) {time.time()-t_start:.0f}s", flush=True)
+
+flat_best = best[2]
+params_best = unravel(jnp.asarray(flat_best))
+
+
+# ---- phase 3: held-out end-to-end validation ---------------------------
+
+def full_episode(env_e, w_e, seed, max_steps=120):
+    state, obs = env_e.reset(jax.random.PRNGKey(seed))
+    wstate = w_e.init_state()
+    for _ in range(max_steps):
+        if bool(wstate.armed):
+            a = linear_policy_apply(W_launch, vnorm.normalize(on, obs))
+        else:
+            a = mlp_apply(params_best, vnorm.normalize(on, obs))
+        out, wstate = w_e.step(state, a, wstate)
+        state, obs = out.state, out.obs
+        if bool(out.done):
+            break
+    R = np.asarray(sp.quat_to_mat(state.robot.quat))
+    return {
+        "rot": float(state.task.max_pitch_bf) >= 2 * np.pi - 0.1,
+        "upright": bool(R[2, 2] > 0.85 and float(state.robot.pos[2]) > 0.15),
+        "pitch_deg": float(np.degrees(state.task.max_pitch_bf)),
+        "up_z": float(R[2, 2]), "z": float(state.robot.pos[2]),
+    }
+
+
+print("validating end-to-end...", flush=True)
+nom_env = QuadrupedEnv(EnvConfig(
+    enable_springs=True, task_env="BACKFLIP",
+    observation_space_mode="ARS_BACKFLIP", action_space_mode="SYMMETRIC",
+    obs_noise=False, max_ep_len=4.0))
+nom_w = wr.LandingWrapperBackflip(nom_env, variant="until_grounded")
+nom = [full_episode(nom_env, nom_w, 1000 + s) for s in range(4)]
+nom_ok = sum(r["rot"] and r["upright"] for r in nom)
+val = [full_episode(env, w, 77000 + s) for s in range(12)]
+rot_ok = sum(r["rot"] for r in val)
+up_ok = sum(r["rot"] and r["upright"] for r in val)
+for r in val:
+    print(f"  pitch {r['pitch_deg']:.0f} up_z {r['up_z']:+.2f} z {r['z']:.2f}",
+          flush=True)
+print(f"[validation] nominal {nom_ok}/4, fresh rotation {rot_ok}/12, "
+      f"fresh strict upright {up_ok}/12", flush=True)
+
+gate_ok = nom_ok == 4 and rot_ok == 12 and up_ok >= 10
+if gate_ok or args.no_save_gate:
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    np.savez(args.out,
+             **{k: np.asarray(v) for k, v in params_best.items()},
+             mean=np.asarray(on.mean), var=np.asarray(on.var),
+             count=np.asarray(on.count),
+             nominal_ok=nom_ok, rot_ok=rot_ok, upright_ok=up_ok,
+             gate_ok=gate_ok)
+    print(f"saved {args.out} (gate_ok={gate_ok})")
+else:
+    print("[validation] FAILED save bars (nominal 4/4 + rotation 12/12 + "
+          "upright >= 10/12) — not saving")
+print(json.dumps({"nominal": nom_ok, "rotation": rot_ok, "upright": up_ok,
+                  "bank_strict_val": best[0]}))
+sys.exit(0 if gate_ok else 1)
