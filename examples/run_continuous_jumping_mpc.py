@@ -24,7 +24,9 @@ import jax
 
 
 def run(seconds: float = 6.0, replan_every: int = 2, seed: int = 0,
-        verbose: bool = True, render_to: str | None = None):
+        verbose: bool = True, render_to: str | None = None,
+        horizon: int = 25, n_samples: int = 32, iterations: int = 4,
+        cost_overrides: tuple = ()):
     import jax.numpy as jnp
     import numpy as np
 
@@ -39,13 +41,17 @@ def run(seconds: float = 6.0, replan_every: int = 2, seed: int = 0,
         observation_space_mode="PPO_CONTINUOUS_JUMPING_FORWARD",
         action_space_mode="SYMMETRIC", obs_noise=False,
         env_randomizer_mode="NONE", max_ep_len=float(seconds) + 1.0))
+    # Cost targets and planner horizon sweepable via cost_overrides /
+    # horizon (scripts/sweep_continuous.py).
     prob = MPCProblem(MPCConfig(task="CONTINUOUS_JUMPING_FORWARD",
-                                horizon=25, iterations=4, n_alphas=4))
-    mcfg = mppi.MPPIConfig(horizon=25, iterations=4, n_samples=32,
-                           sigma=0.25, fused_accept=True)
+                                horizon=horizon, iterations=iterations,
+                                n_alphas=4, cost_overrides=cost_overrides))
+    mcfg = mppi.MPPIConfig(horizon=horizon, iterations=iterations,
+                           n_samples=n_samples, sigma=0.25,
+                           fused_accept=True)
 
     state, _ = env.reset(jax.random.PRNGKey(seed))
-    u_warm = prob.task_warm_start(crouch_knots=6)[: 25]
+    u_warm = prob.task_warm_start(crouch_knots=6)[: horizon]
     key = jax.random.PRNGKey(seed + 1)
     n_steps = int(seconds * 100)
     zs, xs_track = [], []

@@ -4,34 +4,64 @@ a continuation with longer episodes teaches it to LAND (the sparse
 task's terminal alive/crash margin pays for stance only once episodes
 outlive the flight), its episodes are recorded as demonstrations, the
 imitation stage fits them (behavior cloning on the demo rows' exact
-states + a PPO polish on the JUMPING_IN_PLACE_DEMO reward with
+states + a BC-ANCHORED PPO polish on the *_DEMO reward with
 reference-state initialization), and PPO fine-tunes on the dense task
-reward (JUMPING_IN_PLACE_PPO) warm-started from the imitation actor.
+reward (*_PPO) warm-started from the imitation actor. Runs on
+JUMPING_IN_PLACE (default) or JUMPING_FORWARD (--task forward) —
+the reference applies the methodology across its tasks
+(robot_tasks.py:60-99,361-485).
 
 Stage-transition rails (each measured in scripts/diag_*.py):
   * obs statistics FROZEN from BC onward (freeze_obs_norm — the policy
     is a function of the normalized obs; one on-policy update otherwise
     rescales its inputs ~95% and collapses the behavior),
-  * fresh critic fitted with the actor frozen before fine-tune,
-  * AR(1)-correlated exploration noise (noise_rho=0.9 — white per-step
-    noise crashes the precision landing in ~half the rollouts and PPO
-    then unlearns the jump; the reference gets the same smoothing from
-    its 3 Hz action filter),
+  * fresh critic fitted with the actor frozen before each PPO stage,
+  * the imitation polish is BC-ANCHORED (PPOConfig.bc_coef=300) with
+    white exploration noise and the state-consistent demo-reward
+    normalization (EnvConfig.demo_norm="full"). Round-4 diagnosis
+    (scripts/diag_imitate_r4.py, arms A-Z): at the BC initializer the
+    imitation reward sits at its ceiling, so the PPO surrogate gradient
+    is ~pure noise — and Adam steps are lr-sized regardless of gradient
+    magnitude, so EVERY unanchored configuration random-walked the
+    launch away (probe apex 0.98 -> 0.1-0.5 within 60 iters; a
+    rollout-state anchor fails too — launch states are ~1/185 of the
+    batch, diluting its restoring force 185x). The demo-set BC anchor at
+    beta=300 balances the ~1/sigma^2 pg pressure and is the only
+    measured configuration that holds (and slightly improves) the
+    transfer apex. Both failure modes grow with demo length — the
+    hermetic 40-step gate (tests/test_learning.py) never sees them.
+  * AR(1)-correlated exploration noise in the FINE-TUNE stage only
+    (noise_rho=0.9 — white per-step noise crashes the precision landing
+    in ~half the rollouts and PPO then unlearns the jump; the reference
+    gets the same smoothing from its 3 Hz action filter). The polish
+    uses white noise: correlated noise measurably accelerates the decay
+    there (diag arm F vs E) and the landing is the autopilot's job in
+    the demo env.
   * NO action filter anywhere in this pipeline: the filter smears the
     ~0.15 s launch thrust and caps ARS at ~0.56 m apex (350 iters);
     without it the same budget reaches ~0.94 m — the height scale the
     reference's own reward normalization (delta_h / 0.9,
     robot_tasks.py:25) expects,
-  * best-model selection on periodic eval (the reference trains through
-    rl-zoo's EvalCallback / best_model.zip).
+  * the fine-tune TRAINS through RestTruncationWrapper (episodes end at
+    the reference's rest condition, go_to_rest_wrapper.py:89-95): the
+    dense reward pays standing ~0.011/step, so without truncation long
+    fine-tunes rationally drift toward standing (the round-3 run's last
+    iterate fell to 0.40 m); truncation removes the standing stream
+    structurally. Eval always runs the raw env.
+  * best-model selection on periodic eval for the FINE-TUNE stage only
+    (the reference trains through rl-zoo's EvalCallback). The imitation
+    polish is gated on its FINAL iterate — a gate that can fail (the
+    round-3 best-checkpoint gate was seeded with the BC init and could
+    not).
 
 Height note for the fine-tune gate: the dense reward pays height only
 between 0.29 and 1.0 m ABSOLUTE (robot_tasks.py:259-287), i.e. up to
 ~0.68 m above stand; a policy optimizing it rationally settles near
 that cap even when warm-started from a higher jumper.
 
-Run:  python examples/train_two_stage.py [--cpu] [--out examples/out]
-Writes <out>/two_stage_results.json, <out>/demo_jip_<k>.qsts, and
+Run:  python examples/train_two_stage.py [--cpu] [--task forward]
+      [--out examples/out]
+Writes <out>/two_stage[_forward]_results.json, <out>/demo_*.qsts, and
 reward-curve PNGs. Roughly 80 CPU-minutes at default budgets.
 """
 
@@ -49,9 +79,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+TASKS = {
+    "in_place": dict(sparse="JUMPING_IN_PLACE", demo="JUMPING_IN_PLACE_DEMO",
+                     dense="JUMPING_IN_PLACE_PPO", tag="jip",
+                     results="two_stage_results.json"),
+    "forward": dict(sparse="JUMPING_FORWARD", demo="JUMPING_FORWARD_DEMO",
+                    dense="JUMPING_FORWARD_PPO", tag="jf",
+                    results="two_stage_forward_results.json"),
+}
+
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--task", choices=tuple(TASKS), default="in_place")
     ap.add_argument("--ars-iters", type=int, default=250)
     ap.add_argument("--ars-target-apex", type=float, default=0.75,
                     help="stop stage 1a early once eval apex reaches this")
@@ -66,9 +106,11 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     os.makedirs(args.out, exist_ok=True)
+    T = TASKS[args.task]
 
     from quadruped_springs_tpu.env import demo_pipeline as dp
     from quadruped_springs_tpu.env.env import EnvConfig, QuadrupedEnv
+    from quadruped_springs_tpu.env.wrappers import RestTruncationWrapper
     from quadruped_springs_tpu.train import bc
     from quadruped_springs_tpu.train import normalize as vnorm
     from quadruped_springs_tpu.train import rollout as ro
@@ -77,7 +119,7 @@ def main():
     from quadruped_springs_tpu.train.ppo import PPOConfig, PPOTrainer
     from quadruped_springs_tpu.utils import demo as demo_util
 
-    results = {}
+    results = {"task": T["sparse"]}
     t_start = time.time()
 
     # ---- Stage 1a: ARS on the sparse jumping task (height) --------------
@@ -85,7 +127,7 @@ def main():
     # its reward at episode END (robot_tasks.py:31-57), so episodes that
     # never finish within episode_steps would give ARS an all-zero signal.
     jump_env = QuadrupedEnv(EnvConfig(
-        enable_springs=True, task_env="JUMPING_IN_PLACE",
+        enable_springs=True, task_env=T["sparse"],
         observation_space_mode="ARS_BASIC", action_space_mode="SYMMETRIC",
         settling_steps=600, max_ep_len=1.0))
     ars = ARSTrainer(jump_env, ARSConfig(
@@ -102,7 +144,8 @@ def main():
             best_W, best_on, best_apex = ts.W, ts.obs_norm, apex
         curve.append({"iter": i, "mean_return": float(m["mean_return"]),
                       "eval_return": float(ev["return_mean"]),
-                      "eval_max_height": apex})
+                      "eval_max_height": apex,
+                      "eval_max_fwd": float(ev["max_fwd"])})
         if i % 10 == 9:
             print(f"[ARS-jump {i:03d}] train {m['mean_return']:+.3f}  "
                   f"eval {ev['return_mean']:+.3f}  apex {apex:.3f} m "
@@ -125,7 +168,7 @@ def main():
     # learns full-episode survival within ~10 iterations
     # (scripts/diag_ars_land.py).
     land_env = QuadrupedEnv(EnvConfig(
-        enable_springs=True, task_env="JUMPING_IN_PLACE",
+        enable_springs=True, task_env=T["sparse"],
         observation_space_mode="ARS_BASIC", action_space_mode="SYMMETRIC",
         settling_steps=600, max_ep_len=1.9))
     ars_l = ARSTrainer(land_env, ARSConfig(
@@ -145,26 +188,28 @@ def main():
         rets, info = ro.episode_returns(
             land_env, policy, eval_states, eval_obs0, 200)
         return (jnp.mean(rets), jnp.mean(info["length"]),
-                jnp.mean(info["max_height"]), jnp.max(info["max_height"]))
+                jnp.mean(info["max_height"]), jnp.max(info["max_height"]),
+                jnp.max(info["max_fwd"]))
 
     curve_l = []
-    best = (-9.9, tsl.W, tsl.obs_norm, 0.0, 0.0)
+    best = (-9.9, tsl.W, tsl.obs_norm, 0.0, 0.0, 0.0)
     for i in range(args.ars_land_iters):
         tsl, m = ars_l.train_step(tsl)
         if i % 10 == 9:
-            r, ln, am, ax = (float(x) for x in wide_eval(tsl.W, tsl.obs_norm))
+            r, ln, am, ax, fw = (float(x) for x in wide_eval(tsl.W, tsl.obs_norm))
             curve_l.append({"iter": i, "eval_return": r, "mean_len": ln,
-                            "apex_mean": am, "apex_max": ax})
+                            "apex_mean": am, "apex_max": ax, "fwd_max": fw})
             print(f"[ARS-land {i:03d}] ret {r:+.3f} len {ln:5.1f} "
-                  f"apex mean {am:.3f} max {ax:.3f}", flush=True)
+                  f"apex mean {am:.3f} max {ax:.3f} fwd {fw:.3f}", flush=True)
             if r > best[0]:
-                best = (r, tsl.W, tsl.obs_norm, am, ax)
-    _, best_W, best_on, ars_apex_mean, ars_apex_max = best
+                best = (r, tsl.W, tsl.obs_norm, am, ax, fw)
+    _, best_W, best_on, ars_apex_mean, ars_apex_max, ars_fwd_max = best
     results["ars_land_curve"] = curve_l
     results["ars_best_apex_m"] = ars_apex_max
     results["ars_apex_mean_m"] = ars_apex_mean
+    results["ars_best_fwd_m"] = ars_fwd_max
     print(f"[ARS] expert: apex mean {ars_apex_mean:.3f} max "
-          f"{ars_apex_max:.3f}", flush=True)
+          f"{ars_apex_max:.3f} fwd {ars_fwd_max:.3f}", flush=True)
 
     # ---- Stage 2: record demonstrations (policy drives the episode) -----
     def expert(obs):
@@ -183,7 +228,7 @@ def main():
         landed = bool(rows_np[d, :n_valid, -1].any())
         if n_valid == N_ROWS and landed:
             complete += 1
-            path = os.path.join(args.out, f"demo_jip_{len(kept)}.qsts")
+            path = os.path.join(args.out, f"demo_{T['tag']}_{len(kept)}.qsts")
             dp.save_demo_library(path, rows[d], valid[d])
             kept.append(dp.load_demo_library(path))
     if not kept:
@@ -191,7 +236,7 @@ def main():
         # landed episode, trimmed of its final pre-crash second
         d = int(np.argmax(valid_np.sum(axis=1)))
         n_valid = max(int(valid_np[d].sum()) - 10, 20)
-        path = os.path.join(args.out, "demo_jip_0.qsts")
+        path = os.path.join(args.out, f"demo_{T['tag']}_0.qsts")
         dp.save_demo_library(path, rows[d][:n_valid],
                              valid[d][:n_valid])
         kept.append(dp.load_demo_library(path))
@@ -201,24 +246,29 @@ def main():
     results["demo_episodes_complete"] = complete
     results["demo_steps"] = int(sum(d.shape[0] for d in kept))
     print(f"[demo] kept {len(kept)}/{args.n_demos} episodes "
-          f"({results['demo_steps']} rows) -> {args.out}/demo_jip_*.qsts")
+          f"({results['demo_steps']} rows) -> {args.out}/demo_{T['tag']}_*.qsts")
     demo0 = kept[0]
 
     # dense-task eval env + probe — the yardstick every stage shares
     ft_env = QuadrupedEnv(EnvConfig(
-        enable_springs=True, task_env="JUMPING_IN_PLACE_PPO",
+        enable_springs=True, task_env=T["dense"],
         observation_space_mode="ARS_BASIC", action_space_mode="SYMMETRIC",
         settling_steps=600, max_ep_len=2.0))
+    # demo env with the state-consistent reward normalization (see header)
     demo_env = QuadrupedEnv(EnvConfig(
-        enable_springs=True, task_env="JUMPING_IN_PLACE_DEMO",
+        enable_springs=True, task_env=T["demo"],
         observation_space_mode="ARS_BASIC", action_space_mode="SYMMETRIC",
-        settling_steps=600, max_ep_len=2.5),
+        settling_steps=600, max_ep_len=2.5, demo_norm="full"),
         demo_actions=demo_util.demo_actions(demo0, jump_env.action_dim))
 
+    # BC-anchored polish configuration (diag_imitate_r4.py arm W/Y)
     ppo_cfg = PPOConfig(n_envs=32, segment_len=64, reset_bank_size=16,
                         gamma=0.3, gae_lambda=0.9, lr=3e-4, kl_stop=0.03,
-                        freeze_obs_norm=True, noise_rho=0.9)
+                        freeze_obs_norm=True, noise_rho=0.0, bc_coef=300.0)
     ppo_im = PPOTrainer(demo_env, ppo_cfg, demo=demo0)
+    ppo_im_warm = PPOTrainer(
+        demo_env, dataclasses.replace(ppo_cfg, freeze_actor=True),
+        demo=demo0)
 
     probe_states, probe_obs0 = ro.make_reset_bank(
         ft_env, jax.random.PRNGKey(5), 16)
@@ -232,72 +282,104 @@ def main():
         rets, info = ro.episode_returns(
             ft_env, policy, probe_states, probe_obs0, 200)
         return (jnp.mean(rets), jnp.mean(info["length"]),
-                jnp.mean(info["max_height"]), jnp.max(info["max_height"]))
+                jnp.mean(info["max_height"]), jnp.max(info["max_height"]),
+                jnp.max(info["max_fwd"]))
 
-    # ---- Stage 3: BC + PPO imitation polish ------------------------------
+    # deterministic closed-loop return on the demo env — the imitation
+    # stage's own objective (perfect tracking ~1.0 under demo_norm=full)
+    dm_states, dm_obs0 = ro.make_reset_bank(demo_env, jax.random.PRNGKey(77), 8)
+
+    @jax.jit
+    def demo_eval(params, obs_norm):
+        def policy(obs):
+            mean, _, _ = ppo_im.net.apply(
+                params, vnorm.normalize(obs_norm, obs))
+            return jnp.clip(mean, -1.0, 1.0)
+        rets, _ = ro.episode_returns(demo_env, policy, dm_states, dm_obs0, 200)
+        return jnp.mean(rets)
+
+    # ---- Stage 3: BC + BC-anchored PPO imitation polish ------------------
     # (a) behavior cloning on the demo rows' exact states (train/bc.py,
     #     CAUSAL pairing: state BEFORE each action -> that action);
     # (b) PPO on the *_DEMO reward + RSI polishes the per-step match
-    #     closed-loop. Imitation gamma=0.3: the reward is ACTION-LOCAL, a
-    #     small gamma concentrates credit on the acting step. The stage
-    #     output is the best-TRANSFER checkpoint (reference EvalCallback).
+    #     closed-loop, with the BC objective kept live as an anchor
+    #     (PPOConfig.bc_coef — see header). Imitation gamma=0.3: the
+    #     reward is ACTION-LOCAL, a small gamma concentrates credit on
+    #     the acting step. The stage output is the FINAL iterate.
     obs_list, act_list = [], []
     for i, d in enumerate(kept):
         o, a = bc.demo_dataset(demo_env, d, jax.random.PRNGKey(21 + i))
         obs_list.append(o)
         act_list.append(a)
+    bc_obs, bc_acts = jnp.concatenate(obs_list), jnp.concatenate(act_list)
     bc_params, bc_norm, bc_mse = bc.fit(
-        ppo_im.net, jnp.concatenate(obs_list), jnp.concatenate(act_list),
-        jax.random.PRNGKey(22), log_std=-2.0)
+        ppo_im.net, bc_obs, bc_acts, jax.random.PRNGKey(22), log_std=-2.0)
     results["bc_mse"] = float(bc_mse)
-    r, ln, am, ax = (float(x) for x in probe(bc_params, bc_norm))
+    r, ln, am, ax, fw = (float(x) for x in probe(bc_params, bc_norm))
     results["bc_apex_m"] = ax
     results["bc_apex_mean_m"] = am
+    results["bc_fwd_m"] = fw
+    results["bc_demo_return"] = float(demo_eval(bc_params, bc_norm))
     print(f"[BC] mse {results['bc_mse']:.6f}  ret {r:+.3f} len {ln:5.1f} "
-          f"apex mean {am:.3f} max {ax:.3f}", flush=True)
+          f"apex mean {am:.3f} max {ax:.3f} fwd {fw:.3f} "
+          f"demo_ret {results['bc_demo_return']:+.3f}", flush=True)
 
+    ppo_im.set_bc_anchor(vnorm.normalize(bc_norm, bc_obs), bc_acts)
+    ppo_im_warm.set_bc_anchor(vnorm.normalize(bc_norm, bc_obs), bc_acts)
     ps = ppo_im.init(jax.random.PRNGKey(1))
     ps = ps.replace(params=bc_params, obs_norm=bc_norm,
                     opt_state=ppo_im.tx.init(bc_params))
+    for i in range(args.ppo_critic_warmup_iters):
+        ps, m = ppo_im_warm.train_step(ps)
+        if i % 10 == 9:
+            print(f"[PPO-imitate-warmup {i:03d}] vf "
+                  f"{float(m['vf_loss']):.5f}", flush=True)
     curve_im = []
-    best_im = (am, ps)
     for i in range(args.ppo_imitate_iters):
         ps, m = ppo_im.train_step(ps)
-        rec = {"iter": i, "mean_reward": float(m["mean_reward"])}
+        rec = {"iter": i, "mean_reward": float(m["mean_reward"]),
+               "bc_mse": float(m["bc_mse"])}
         if i % 10 == 9:
-            r, ln, am2, ax2 = (float(x) for x in probe(ps.params, ps.obs_norm))
-            rec.update(eval_apex_mean=am2, eval_apex_max=ax2)
-            if am2 > best_im[0]:
-                best_im = (am2, ps)
+            r, ln, am2, ax2, fw2 = (float(x) for x in probe(ps.params, ps.obs_norm))
+            de = float(demo_eval(ps.params, ps.obs_norm))
+            rec.update(eval_apex_mean=am2, eval_apex_max=ax2,
+                       demo_return=de)
             print(f"[PPO-imitate {i:03d}] r_im {m['mean_reward']:+.5f} "
-                  f"kl {m['approx_kl']:+.4f} apex mean {am2:.3f} "
+                  f"kl {m['kl_est']:+.4f} bc_mse {rec['bc_mse']:.1e} "
+                  f"demo_ret {de:+.3f} apex mean {am2:.3f} "
                   f"max {ax2:.3f}", flush=True)
         curve_im.append(rec)
-    ps = best_im[1]
     results["ppo_imitate_curve"] = curve_im
-    im_r = [c["mean_reward"] for c in curve_im]
-    results["ppo_imitate_reward_first10"] = float(np.mean(im_r[:10]))
-    results["ppo_imitate_reward_last10"] = float(np.mean(im_r[-10:]))
-    r, ln, am, ax = (float(x) for x in probe(ps.params, ps.obs_norm))
+    # the stage output is the FINAL ITERATE — no best-checkpoint fallback,
+    # so both gates below can fail (VERDICT r3 weak #1):
+    r, ln, am, ax, fw = (float(x) for x in probe(ps.params, ps.obs_norm))
+    de = float(demo_eval(ps.params, ps.obs_norm))
     results["ppo_imitate_apex_m"] = ax
     results["ppo_imitate_apex_mean_m"] = am
-    # stage gate: the polish must PRESERVE the cloned jump's transfer
-    # (best-transfer checkpoint >= 90% of the BC closed-loop apex). PPO
-    # *learning* this reward from scratch is gated separately in
-    # tests/test_learning.py::test_ppo_imitation_learns.
+    results["ppo_imitate_demo_return"] = de
+    # gate 1: the polish's own closed-loop imitation objective did not
+    # regress (>= the BC initializer's deterministic demo return - 2%)
+    results["ppo_imitate_demo_improved"] = bool(
+        de >= results["bc_demo_return"] - 0.02)
+    # gate 2: transfer held — final-iterate apex mean within 2 cm of the
+    # BC initializer's (the round-3 run missed this by ~0.7 m)
     results["ppo_imitate_improved"] = bool(
-        ax >= 0.9 * results["bc_apex_m"])
-    print(f"[PPO-imitate] reward {results['ppo_imitate_reward_first10']:.4f}"
-          f" -> {results['ppo_imitate_reward_last10']:.4f}  "
-          f"apex {ax:.3f} m (mean {am:.3f})")
+        am >= results["bc_apex_mean_m"] - 0.02)
+    print(f"[PPO-imitate] final: demo_ret {de:+.3f} (BC "
+          f"{results['bc_demo_return']:+.3f})  apex mean {am:.3f} (BC "
+          f"{results['bc_apex_mean_m']:.3f})  gates: demo="
+          f"{results['ppo_imitate_demo_improved']} "
+          f"transfer={results['ppo_imitate_improved']}")
 
     # ---- Stage 4: PPO fine-tune on the dense task, warm-started ---------
+    # trains through RestTruncationWrapper (see header); eval = raw env
+    ft_train_env = RestTruncationWrapper(ft_env)
     ft_cfg = PPOConfig(n_envs=32, segment_len=64, reset_bank_size=16,
                        lr=1e-4, kl_stop=0.02, ent_coef=0.0,
                        freeze_obs_norm=True, noise_rho=0.9)
-    ppo_ft = PPOTrainer(ft_env, ft_cfg)
+    ppo_ft = PPOTrainer(ft_train_env, ft_cfg)
     ppo_warm = PPOTrainer(
-        ft_env, dataclasses.replace(ft_cfg, lr=3e-4, freeze_actor=True))
+        ft_train_env, dataclasses.replace(ft_cfg, lr=3e-4, freeze_actor=True))
     fs = ppo_ft.init(jax.random.PRNGKey(2))
     # imitation ACTOR + obs statistics; FRESH critic (the imitation critic
     # is fitted to ~1/demo_len-scale rewards and its value error on the
@@ -315,9 +397,9 @@ def main():
         fs, m = ppo_ft.train_step(fs)
         rec = {"iter": i, "mean_reward": float(m["mean_reward"])}
         if i % 5 == 4:
-            r, ln, am2, ax2 = (float(x) for x in probe(fs.params, fs.obs_norm))
+            r, ln, am2, ax2, fw2 = (float(x) for x in probe(fs.params, fs.obs_norm))
             rec.update(eval_apex_mean=am2, eval_apex_max=ax2,
-                       eval_return=r)
+                       eval_return=r, eval_fwd_max=fw2)
             # best-model selection on periodic eval (EvalCallback):
             # score = mean apex (robustness across the randomized bank)
             if am2 > best_ft[0]:
@@ -332,13 +414,15 @@ def main():
     results["ppo_finetune_reward_improved"] = bool(
         np.mean(ft_r[-10:]) > np.mean(ft_r[:10]))
     # final policy = best-eval checkpoint; last iterate reported too
-    r, ln, am, ax = (float(x) for x in probe(best_ft[1].params,
-                                             best_ft[1].obs_norm))
+    r, ln, am, ax, fw = (float(x) for x in probe(best_ft[1].params,
+                                                 best_ft[1].obs_norm))
     results["ppo_finetune_final_apex_m"] = ax
     results["ppo_finetune_final_apex_mean_m"] = am
+    results["ppo_finetune_final_fwd_m"] = fw
     results["ppo_finetune_final_return"] = r
-    r2, _, am2, ax2 = (float(x) for x in probe(fs.params, fs.obs_norm))
+    r2, _, am2, ax2, _ = (float(x) for x in probe(fs.params, fs.obs_norm))
     results["ppo_finetune_last_iter_apex_m"] = ax2
+    results["ppo_finetune_last_iter_apex_mean_m"] = am2
     results["ppo_finetune_last_iter_return"] = r2
     # Gate (VERDICT round-2 bar, height-cap aware): the fine-tuned policy
     # must still be an ARS-class jumper — >= 0.5 m, and >= 95% of the ARS
@@ -352,13 +436,15 @@ def main():
     results["finetune_gate_bar_m"] = bar
     results["wall_s"] = round(time.time() - t_start, 1)
 
-    out_json = os.path.join(args.out, "two_stage_results.json")
+    out_json = os.path.join(args.out, T["results"])
     with open(out_json, "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote {out_json}")
     print(json.dumps({k: results[k] for k in (
         "ars_jump_best_apex_m", "ars_best_apex_m", "bc_apex_m",
-        "ppo_imitate_apex_m", "ppo_finetune_final_apex_m",
+        "bc_demo_return", "ppo_imitate_apex_m", "ppo_imitate_apex_mean_m",
+        "ppo_imitate_demo_return", "ppo_imitate_demo_improved",
+        "ppo_imitate_improved", "ppo_finetune_final_apex_m",
         "ppo_finetune_final_apex_mean_m", "ppo_finetune_last_iter_apex_m",
         "finetune_matches_ars", "wall_s")}))
 
@@ -368,10 +454,13 @@ def main():
         import matplotlib.pyplot as plt
         fig, axs = plt.subplots(1, 3, figsize=(13, 3.5))
         axs[0].plot([c["eval_return"] for c in curve])
-        axs[0].set_title("ARS eval return (stage 1a)")
-        axs[1].plot([c["mean_reward"] for c in curve_im])
-        axs[1].axhline(1.0 / demo0.shape[0], ls="--", c="gray")
-        axs[1].set_title("PPO imitation reward (dashed = 1/demo_len)")
+        axs[0].set_title(f"ARS eval return (stage 1a, {T['sparse']})")
+        im_probes = [c for c in curve_im if "demo_return" in c]
+        axs[1].plot([c["iter"] for c in im_probes],
+                    [c["demo_return"] for c in im_probes], label="demo ret")
+        axs[1].axhline(results["bc_demo_return"], ls="--", c="gray")
+        axs[1].legend()
+        axs[1].set_title("polish demo-env return (dashed = BC init)")
         ft_probes = [c for c in curve_ft if "eval_apex_mean" in c]
         axs[2].plot([c["iter"] for c in ft_probes],
                     [c["eval_apex_mean"] for c in ft_probes], label="mean")
@@ -381,7 +470,8 @@ def main():
         axs[2].set_title("PPO finetune eval apex [m]")
         for ax_ in axs:
             ax_.set_xlabel("iteration")
-        fig.savefig(os.path.join(args.out, "two_stage_curves.png"),
+        tag = "" if args.task == "in_place" else "_forward"
+        fig.savefig(os.path.join(args.out, f"two_stage{tag}_curves.png"),
                     dpi=100, bbox_inches="tight")
         print("wrote curves png")
     except Exception as e:  # plotting is best-effort

@@ -82,6 +82,10 @@ class MPCConfig:
     # foot+calf), so 5 ms planner steps need d ≲ 40.
     contact_stiffness: float = 4000.0
     contact_damping: float = 40.0
+    # Task-cost parameter overrides as a hashable (key, value) tuple, e.g.
+    # (("v_ref", 1.8),) — consumed by tasks/costs.make_cost; the supported
+    # keys are documented per task there. Empty = the committed defaults.
+    cost_overrides: tuple = ()
     # Impact-damping clamp (SimParams.clamp_damping): required on the stiff
     # execution model, optional on the relaxed planner (off = ~1.8x faster).
     clamp_damping: bool = False
@@ -138,7 +142,8 @@ class MPCProblem:
             # MPCConfig.full_rate() turns it back on.
             clamp_damping=config.clamp_damping)
         self.stage_cost, self.terminal_cost = task_costs.make_cost(
-            config.task, self.cfg, self.action_dim, config.horizon)
+            config.task, self.cfg, self.action_dim, config.horizon,
+            overrides=dict(config.cost_overrides))
         self.ilqr_config = ilqr.ILQRConfig(
             horizon=config.horizon, iterations=config.iterations,
             n_alphas=config.n_alphas, backward=config.backward,

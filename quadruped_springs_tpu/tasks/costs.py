@@ -64,7 +64,8 @@ def _posture(cfg: Go1Config, x):
     return jnp.sum((_q(x) - cfg.init_joint_angles) ** 2)
 
 
-def make_cost(task: str, cfg: Go1Config, action_dim: int, horizon: int):
+def make_cost(task: str, cfg: Go1Config, action_dim: int, horizon: int,
+              overrides: dict | None = None):
     """Return (stage_cost, terminal_cost) for a task key.
 
     Supported MPC tasks (the four headline configs of BASELINE.json):
@@ -122,17 +123,22 @@ def make_cost(task: str, cfg: Go1Config, action_dim: int, horizon: int):
 
         return stage, terminal
 
+    ov = overrides or {}
+
     if task.startswith("CONTINUOUS_JUMPING_FORWARD"):
         w_v, w_h, w_pitch, w_y, w_up = 12.0, 20.0, 3.0, 4.0, 8.0
-        z_ref = 0.48  # hop apex target (task band 0.35-0.5)
-        # forward speed is TRACKED, not maximized: the task's per-jump
+        # hop apex target (task band 0.35-0.5) and tracked forward speed.
+        # Forward speed is TRACKED, not maximized: the task's per-jump
         # scoring caps each jump's credited distance at jump_limit=0.6 m
         # (robot_tasks.py:168-212), so the optimal gait is a bounded hop
         # train — a raw -w_v*vx reward was measured to accelerate the
-        # robot to 8.7 m/s and roll it over within 2 s. v_ref=1.4 with
-        # the 0.48 apex target measured best on the task's own per-jump
-        # stats (4 good jumps, 7.3 m/6 s vs 1 good, 5.4 m at v_ref=1.0).
-        v_ref = 1.4
+        # robot to 8.7 m/s and roll it over within 2 s. Defaults from the
+        # round-4 sweep (scripts/sweep_continuous.py) on the task's own
+        # per-jump scoring; override via MPCConfig.cost_overrides.
+        z_ref = float(ov.get("z_ref", 0.48))
+        v_ref = float(ov.get("v_ref", 1.4))
+        w_v = float(ov.get("w_v", w_v))
+        w_h = float(ov.get("w_h", w_h))
 
         def stage(x, u, t):
             # soft base-height floor: crouching below ~0.24 m on touchdown

@@ -75,6 +75,34 @@ class PPOConfig:
     # warm-started jumper in ~half the rollouts and PPO unlearns the jump
     # within 9 iterations; see scripts/diag_e2e_v2.py.
     noise_rho: float = 0.0
+    # Anchored polish (trust region to a FIXED prior policy): adds
+    # anchor_coef * mean((mu(s) - mu_anchor(s))^2) over rollout states to
+    # the loss, with the anchor passed to train_step via
+    # PPOTrainer.set_anchor(). Rationale (scripts/diag_imitate_r4.py): a
+    # BC-initialized policy sits at the imitation reward's ceiling, so
+    # the surrogate gradient is ~pure noise — and Adam's step size is
+    # lr-scaled regardless of gradient magnitude, so 16 minibatch
+    # updates/iter random-walk the parameters ~0.1 per 60 iters at any
+    # lr; the closed-loop launch is sensitive enough that this wander
+    # alone collapses the probe apex 0.98 -> 0.1-0.5 in EVERY
+    # unanchored configuration measured (arms A-H). The per-update
+    # kl_stop bounds single-step drift, not the cumulative walk; only an
+    # anchor to the initializer does. Improvements must then earn their
+    # distance from the prior through the reward — the standard
+    # KL-to-prior treatment for fine-tuning from a pretrained policy.
+    anchor_coef: float = 0.0
+    # BC-anchored polish: adds bc_coef * mse(mu(demo_obs), demo_actions)
+    # over the FIXED demo dataset (set via PPOTrainer.set_bc_anchor) to
+    # every minibatch update. Measured necessity
+    # (scripts/diag_imitate_r4.py arms P/Q/R): a rollout-state anchor
+    # fails because launch states are ~1/demo_len of the batch, so the
+    # quadratic anchor's restoring force on them is diluted ~185x at
+    # real demo scale while the Adam noise drive isn't — the demo-set
+    # anchor weights every demo row (launch included) uniformly. This is
+    # the BC objective kept live through the polish: PPO may adapt
+    # off-demo states (robustness) but cannot walk the demonstrated
+    # state->action mapping away.
+    bc_coef: float = 0.0
 
 
 @struct.dataclass
@@ -100,9 +128,23 @@ class PPOTrainer:
         self.config = config
         self.demo = demo
         self.net = MLPPolicy(env.action_dim, config.hidden)
+        self.anchor_params = None   # set_anchor() — see PPOConfig.anchor_coef
+        self.bc_anchor = None       # set_bc_anchor() — see PPOConfig.bc_coef
         self.tx = optax.chain(
             optax.clip_by_global_norm(config.max_grad_norm),
             optax.adam(config.lr))
+
+    def set_anchor(self, params):
+        """Fix the anchor policy for PPOConfig.anchor_coef > 0 (typically
+        the BC initializer). Stored on the trainer (static under jit):
+        call BEFORE the first train_step."""
+        self.anchor_params = jax.tree.map(jax.lax.stop_gradient, params)
+
+    def set_bc_anchor(self, obs_n, actions):
+        """Fix the demo dataset for PPOConfig.bc_coef > 0: obs must be
+        pre-normalized with the (frozen) stage obs statistics. Call
+        BEFORE the first train_step."""
+        self.bc_anchor = (jnp.asarray(obs_n), jnp.asarray(actions))
 
     def init(self, key: jax.Array) -> PPOState:
         cfg = self.config
@@ -200,8 +242,19 @@ class PPOTrainer:
         # early stop thresholds on)
         kl_est = jnp.mean(jnp.exp(logratio) - 1.0 - logratio)
         pg_coef = 0.0 if cfg.freeze_actor else 1.0
-        return pg_coef * (pg - cfg.ent_coef * ent) + cfg.vf_coef * vf, \
-            {"pg_loss": pg, "vf_loss": vf,
+        anchor = jnp.asarray(0.0)
+        if cfg.anchor_coef > 0.0 and self.anchor_params is not None:
+            mean_a, _, _ = self.net.apply(self.anchor_params, batch["obs_n"])
+            anchor = jnp.mean((mean - mean_a) ** 2)
+        bc_mse = jnp.asarray(0.0)
+        if cfg.bc_coef > 0.0 and self.bc_anchor is not None:
+            bo, ba = self.bc_anchor
+            bc_mean, _, _ = self.net.apply(params, bo)
+            bc_mse = jnp.mean((bc_mean - ba) ** 2)
+        return (pg_coef * (pg - cfg.ent_coef * ent) + cfg.vf_coef * vf
+                + cfg.anchor_coef * anchor + cfg.bc_coef * bc_mse), \
+            {"pg_loss": pg, "vf_loss": vf, "anchor_mse": anchor,
+             "bc_mse": bc_mse,
              "approx_kl": jnp.mean(batch["logp"] - logp), "kl_est": kl_est}
 
     @partial(jax.jit, static_argnums=0)
@@ -269,6 +322,8 @@ class PPOTrainer:
 
         metrics = {
             "loss": jnp.mean(losses),
+            "anchor_mse": jnp.mean(auxs["anchor_mse"]),
+            "bc_mse": jnp.mean(auxs["bc_mse"]),
             "pg_loss": jnp.mean(auxs["pg_loss"]),
             "vf_loss": jnp.mean(auxs["vf_loss"]),
             "approx_kl": jnp.mean(auxs["approx_kl"]),

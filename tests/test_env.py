@@ -163,3 +163,36 @@ def test_torque_mode_non_rl():
 def test_torque_mode_rl_rejected():
     with pytest.raises(ValueError):
         QuadrupedEnv(EnvConfig(motor_control_mode="TORQUE"))
+
+
+def test_demo_reward_normalization_modes():
+    """*_DEMO reward: "remaining" divides by demo_len - demo_start
+    (reference task_base.py:183-211); "full" divides by demo_len so the
+    same physical state earns the same reward regardless of the episode's
+    RSI start (EnvConfig.demo_norm — the round-4 imitation rail)."""
+    import jax.numpy as jnp
+
+    from quadruped_springs_tpu.tasks import tasks as tk
+
+    td = tk.get_task("JUMPING_IN_PLACE_DEMO")
+    f = jnp.float32
+    ctx = tk.TaskCtx(
+        pos=jnp.zeros(3), lin_vel=jnp.zeros(3), rpy=jnp.zeros(3),
+        quat=jnp.array([0.0, 0.0, 0.0, 1.0]), q=jnp.zeros(12),
+        qd=jnp.zeros(12), motor_torques=jnp.zeros(12),
+        feet_in_contact=jnp.ones(4, bool), feet_forces=jnp.zeros(4),
+        invalid_contact=jnp.asarray(False), sim_time=jnp.asarray(0.0, f),
+        is_flying=jnp.asarray(False), last_action=jnp.zeros(6))
+    demo = jnp.zeros((100, 6))  # perfect match: exp(0) = 1
+    ts = tk.init_task_state(ctx).replace(
+        demo_counter=jnp.asarray(81, jnp.int32),
+        demo_start=jnp.asarray(80, jnp.int32))
+    r_rem = float(tk.task_reward(td, ts, ctx, demo, 100, demo_norm="remaining"))
+    r_full = float(tk.task_reward(td, ts, ctx, demo, 100, demo_norm="full"))
+    assert abs(r_rem - 1.0 / 20.0) < 1e-6, r_rem
+    assert abs(r_full - 1.0 / 100.0) < 1e-6, r_full
+    # from a clean start the two modes agree
+    ts0 = tk.init_task_state(ctx).replace(
+        demo_counter=jnp.asarray(1, jnp.int32))
+    assert abs(float(tk.task_reward(td, ts0, ctx, demo, 100, demo_norm="remaining"))
+               - float(tk.task_reward(td, ts0, ctx, demo, 100, demo_norm="full"))) < 1e-7

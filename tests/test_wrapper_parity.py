@@ -212,3 +212,85 @@ def test_mppi_smooth_noise_preserves_marginal_std():
     out = jnp.swapaxes(f, 0, 1) / norm[None, :, None]
     stds = np.asarray(jnp.std(out, axis=0)).ravel()
     np.testing.assert_allclose(stds, 1.0, atol=0.05)
+
+
+# -- RestTruncationWrapper (round 4: wired into the fine-tune stage) -------
+
+def test_rest_truncation_wrapper_truncates_after_landing():
+    """The agent-visible MDP of the reference training stack ends at
+    landing (GoToRestWrapper discards post-trigger rewards,
+    go_to_rest_wrapper.py:74-78): the wrapper must end the episode at the
+    rest condition — after a jump, feet down, height rising — while the
+    raw env keeps paying the standing reward stream."""
+    from tests.conftest import env_factory
+    dense = env_factory(
+        enable_springs=True, task_env="JUMPING_IN_PLACE_PPO",
+        observation_space_mode="ARS_BASIC", action_space_mode="SYMMETRIC",
+        settling_steps=600, max_ep_len=2.0)()
+    w = wr.RestTruncationWrapper(dense)
+    crouch = jnp.array([0.0, 0.2, -0.4, 0.0, 0.2, -0.4])
+    init_a = dense.get_init_action()
+
+    def drive(env, latch):
+        """Small crouch, then release to the init pose (height rises
+        through the grounded recovery — the rest signature). `latch`
+        fakes the post-jump controller switch the condition requires."""
+        state, _ = dense.reset(jax.random.PRNGKey(3))
+        if latch:
+            state = state.replace(task=state.task.replace(
+                switched_controller=jnp.asarray(True)))
+        for i in range(30):
+            a = crouch if i < 10 else init_a
+            state, _, _, done, _ = env.step(state, a)
+            if bool(done):
+                return i, state
+        return 30, state
+
+    # no jump happened (switched_controller False): never truncates
+    t0, _ = drive(w, latch=False)
+    assert t0 == 30, t0
+    # post-jump latch set: the wrapper truncates during the grounded
+    # height-rising recovery; the raw env keeps going
+    t_w, s_w = drive(w, latch=True)
+    t_raw, _ = drive(dense, latch=True)
+    assert t_w < 30 <= t_raw, (t_w, t_raw)
+    assert bool(jnp.all(s_w.feet_in_contact))
+    assert float(s_w.robot.pos[2]) > 0.15
+    # delegation: the wrapper is a drop-in env for the trainers
+    assert w.action_dim == dense.action_dim
+    assert w.obs_dim == dense.obs_dim
+
+
+# -- BC-anchored PPO loss (PPOConfig.bc_coef, round-4 imitation rail) ------
+
+def test_ppo_bc_anchor_term_in_loss():
+    """With bc_coef set, the loss must include bc_coef * mse(mu(demo_obs),
+    demo_actions) exactly, and report it in the aux metrics."""
+    import dataclasses as dc
+
+    from quadruped_springs_tpu.train.ppo import PPOConfig, PPOTrainer
+
+    env = _env()
+    cfg = PPOConfig(n_envs=4, segment_len=8, reset_bank_size=4, bc_coef=7.0)
+    tr = PPOTrainer(env, cfg)
+    tr0 = PPOTrainer(env, dc.replace(cfg, bc_coef=0.0))
+    key = jax.random.PRNGKey(0)
+    params = tr.net.init(key, jnp.zeros(env.obs_dim))
+    n = 16
+    batch = {
+        "obs_n": jax.random.normal(key, (n, env.obs_dim)),
+        "action": jax.random.normal(jax.random.PRNGKey(1), (n, env.action_dim)),
+        "logp": jnp.zeros(n),
+        "adv": jax.random.normal(jax.random.PRNGKey(2), (n,)),
+        "ret": jnp.zeros(n),
+    }
+    bo = jax.random.normal(jax.random.PRNGKey(3), (32, env.obs_dim))
+    ba = jax.random.normal(jax.random.PRNGKey(4), (32, env.action_dim))
+    tr.set_bc_anchor(bo, ba)
+    loss_a, aux_a = tr._loss(params, batch)
+    loss_0, aux_0 = tr0._loss(params, batch)
+    mean, _, _ = tr.net.apply(params, bo)
+    expect = float(jnp.mean((mean - ba) ** 2))
+    np.testing.assert_allclose(float(aux_a["bc_mse"]), expect, rtol=1e-5)
+    np.testing.assert_allclose(float(loss_a - loss_0), 7.0 * expect,
+                               rtol=1e-4)
