@@ -31,14 +31,12 @@ from quadruped_springs_tpu.solver.mpc import (
 )
 
 
-def main():
-    n_steps = 40
-    if "--steps" in sys.argv:
-        n_steps = int(sys.argv[sys.argv.index("--steps") + 1])
-    replan_every = 5
-    if "--replan-every" in sys.argv:
-        replan_every = int(sys.argv[sys.argv.index("--replan-every") + 1])
+_G9 = 9.81
 
+
+def run(n_steps: int = 40, replan_every: int = 5, verbose: bool = True):
+    """Receding-horizon loop; returns closed-loop transfer metrics
+    (consumed by tests/test_transfer.py's closed-loop case)."""
     prob = MPCProblem(MPCConfig(task="JUMPING_IN_PLACE", horizon=20,
                                 iterations=4, n_alphas=4))
     c = prob.cfg
@@ -63,29 +61,56 @@ def main():
         s, _ = jax.lax.scan(sub, state, None, length=10)
         return s
 
+    def ballistic_apex_of(xs):
+        z, vz = xs[:, 2], xs[:, 9]
+        return float(jnp.max(z + jnp.maximum(vz, 0.0) ** 2 / (2 * _G9)))
+
     state = vec_to_state(prob.default_x0())
     u_warm = prob.task_warm_start(crouch_knots=6)
-    zs, apex = [], 0.0
+    zs, apex, planned_apexes = [], 0.0, []
     for t in range(n_steps):
         x = state_to_vec(state)
         if t % replan_every == 0:
             sol = prob.solve(x, u_warm)
             u_warm = sol.us
+            # each solve's predicted (ballistic) apex on the relaxed
+            # planner model — the closed-loop transfer yardstick is the
+            # max prediction vs the stiff executor's realized apex
+            planned_apexes.append(ballistic_apex_of(sol.xs))
         action = u_warm[0]
         u_warm = jnp.concatenate([u_warm[1:], u_warm[-1:]], axis=0)
         state = execute_knot(state, action)
         z = float(state.pos[2])
         vz = float(state.lin_vel[2])
-        apex = max(apex, z + max(vz, 0.0) ** 2 / (2 * 9.81))
+        apex = max(apex, z + max(vz, 0.0) ** 2 / (2 * _G9))
         zs.append(z)
 
     zs = np.asarray(zs)
-    print(f"closed-loop MPC, {n_steps} knots @100 Hz "
-          f"(replan every {replan_every}):")
-    print(f"  executed apex (stiff sim): {apex:.3f} m")
-    print(f"  height range: [{zs.min():.3f}, {zs.max():.3f}] m")
-    print(f"  final height: {zs[-1]:.3f} m, "
-          f"upright: {bool(zs[-1] > 0.15)}")
+    out = {
+        "planned_apex_max_m": round(max(planned_apexes), 3),
+        "planned_apex_first_m": round(planned_apexes[0], 3),
+        "executed_apex_m": round(apex, 3),
+        "final_z_m": round(float(zs[-1]), 3),
+        "upright": bool(zs[-1] > 0.15),
+    }
+    if verbose:
+        print(f"closed-loop MPC, {n_steps} knots @100 Hz "
+              f"(replan every {replan_every}):")
+        print(f"  planned apex (max over solves): {out['planned_apex_max_m']:.3f} m")
+        print(f"  executed apex (stiff sim): {apex:.3f} m")
+        print(f"  height range: [{zs.min():.3f}, {zs.max():.3f}] m")
+        print(f"  final height: {zs[-1]:.3f} m, upright: {out['upright']}")
+    return out
+
+
+def main():
+    n_steps = 40
+    if "--steps" in sys.argv:
+        n_steps = int(sys.argv[sys.argv.index("--steps") + 1])
+    replan_every = 5
+    if "--replan-every" in sys.argv:
+        replan_every = int(sys.argv[sys.argv.index("--replan-every") + 1])
+    run(n_steps, replan_every)
 
 
 if __name__ == "__main__":

@@ -25,7 +25,7 @@ import jax
 
 def run(seconds: float = 6.0, replan_every: int = 2, seed: int = 0,
         verbose: bool = True, render_to: str | None = None,
-        horizon: int = 25, n_samples: int = 32, iterations: int = 4,
+        horizon: int = 40, n_samples: int = 32, iterations: int = 4,
         cost_overrides: tuple = ()):
     import jax.numpy as jnp
     import numpy as np
@@ -41,8 +41,10 @@ def run(seconds: float = 6.0, replan_every: int = 2, seed: int = 0,
         observation_space_mode="PPO_CONTINUOUS_JUMPING_FORWARD",
         action_space_mode="SYMMETRIC", obs_noise=False,
         env_randomizer_mode="NONE", max_ep_len=float(seconds) + 1.0))
-    # Cost targets and planner horizon sweepable via cost_overrides /
-    # horizon (scripts/sweep_continuous.py).
+    # H=40 (0.4 s) so the planner spans a full hop cycle — flight alone
+    # is ~0.35 s at the apex target; at H=25 the planner never commits
+    # to a full jump (the round-3 micro-hop trace). Cost targets and
+    # horizon sweepable via cost_overrides (scripts/sweep_continuous.py).
     prob = MPCProblem(MPCConfig(task="CONTINUOUS_JUMPING_FORWARD",
                                 horizon=horizon, iterations=iterations,
                                 n_alphas=4, cost_overrides=cost_overrides))

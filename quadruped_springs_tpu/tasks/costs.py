@@ -133,10 +133,14 @@ def make_cost(task: str, cfg: Go1Config, action_dim: int, horizon: int,
         # (robot_tasks.py:168-212), so the optimal gait is a bounded hop
         # train — a raw -w_v*vx reward was measured to accelerate the
         # robot to 8.7 m/s and roll it over within 2 s. Defaults from the
-        # round-4 sweep (scripts/sweep_continuous.py) on the task's own
-        # per-jump scoring; override via MPCConfig.cost_overrides.
+        # round-4 sweep (scripts/sweep_continuous.py,
+        # docs/continuous_sweep_r4*.jsonl) on the task's own per-jump
+        # scoring: v_ref=2.2 with a 0.4 s planner horizon turns the
+        # round-3 micro-hop train (4 good jumps @0.7, 0 @0.85) into 9
+        # good @0.7 / 6 @0.85 / 12.3 m per 6 s; v_ref=2.6 rolls the
+        # robot over at 2.9 s. Override via MPCConfig.cost_overrides.
         z_ref = float(ov.get("z_ref", 0.48))
-        v_ref = float(ov.get("v_ref", 1.4))
+        v_ref = float(ov.get("v_ref", 2.2))
         w_v = float(ov.get("w_v", w_v))
         w_h = float(ov.get("w_h", w_h))
 

@@ -39,6 +39,14 @@ from quadruped_springs_tpu.solver import mppi
 from quadruped_springs_tpu.solver.mpc import MPCConfig, MPCProblem, state_to_vec
 from quadruped_springs_tpu.utils import verification as V
 
+N_SOLVES = 8  # MPPI is stochastic; single solves are too noisy to compare
+
+
+def _ballistic_apex(xs):
+    z, vz = xs[:, 2], xs[:, 9]
+    return jnp.max(z + jnp.maximum(vz, 0.0) ** 2 / (2 * 9.81))
+
+
 rows = {}
 for springs in (True, False):
     label = "springs" if springs else "rigid"
@@ -48,11 +56,24 @@ for springs in (True, False):
                                 enable_springs=springs))
     env = V.fidelity_env("JUMPING_IN_PLACE", enable_springs=springs)
     state, _ = env.reset(jax.random.PRNGKey(0))
-    sol = prob.solve_mppi(state_to_vec(state.robot),
-                          prob.task_warm_start(), jax.random.PRNGKey(1),
-                          mppi.MPPIConfig(horizon=50, iterations=10))
-    planned_apex = float(jnp.max(sol.xs[:, 2]))
-    trace = np.asarray(V.record_golden_trace(env, sol.us, jax.random.PRNGKey(2)))
+    x0 = state_to_vec(state.robot)
+    u0 = prob.task_warm_start()
+    mcfg = mppi.MPPIConfig(horizon=50, iterations=10)
+    keys = jax.random.split(jax.random.PRNGKey(1), N_SOLVES)
+    sols = jax.jit(jax.vmap(
+        lambda k: prob.solve_mppi(x0, u0, k, mcfg)))(keys)
+    # plans launch as late in the horizon as pays, so realized z
+    # under-measures the jump: use the ballistic apex predictor
+    apexes = jax.vmap(_ballistic_apex)(sols.xs)
+    best = int(jnp.argmin(sols.cost))
+    us = sols.us[best]
+    # extend execution past the 0.5 s plan so the jump completes and
+    # lands: hold the landing action (the autopilot's hold,
+    # landing_wrapper.py:38-69) for another 0.7 s
+    land = env.get_landing_action()
+    us_full = jnp.concatenate(
+        [us, jnp.broadcast_to(land, (70,) + land.shape)], axis=0)
+    trace = np.asarray(V.record_golden_trace(env, us_full, jax.random.PRNGKey(2)))
     got = V.split_trace(trace, env.action_dim)
     z = got["pos"][:, 2]
     tau = got["tau"]
@@ -61,9 +82,13 @@ for springs in (True, False):
     qd = got["qd"]
     motor_power = np.maximum(np.sum(tau * qd, axis=1), 0.0)
     rows[label] = {
-        "planned_apex_m": round(planned_apex, 3),
+        "n_solves": N_SOLVES,
+        "planned_apex_best_m": round(float(apexes[best]), 3),
+        "planned_apex_mean_m": round(float(jnp.mean(apexes)), 3),
+        "planned_apex_max_m": round(float(jnp.max(apexes)), 3),
+        "best_cost": round(float(sols.cost[best]), 2),
+        "mean_cost": round(float(jnp.mean(sols.cost)), 2),
         "executed_apex_m": round(float(z.max()), 3),
-        "final_cost": round(float(sol.cost), 2),
         "peak_motor_torque_Nm": round(float(np.abs(tau).max()), 2),
         "motor_work_J": round(float(motor_power.sum()) * 0.01, 2),
         "final_z_m": round(float(z[-1]), 3),
@@ -76,6 +101,8 @@ s, r = rows["springs"], rows["rigid"]
 rows["summary"] = {
     "apex_gain_m": round(s["executed_apex_m"] - r["executed_apex_m"], 3),
     "apex_gain_pct": round(100 * (s["executed_apex_m"] / max(r["executed_apex_m"], 1e-6) - 1), 1),
+    "planned_mean_gain_m": round(
+        s["planned_apex_mean_m"] - r["planned_apex_mean_m"], 3),
 }
 os.makedirs(os.path.dirname(args.out), exist_ok=True)
 with open(args.out, "w") as f:

@@ -42,11 +42,20 @@ CONFIGS = [
     ("H50-v1.8", 50, (("v_ref", 1.8),)),
 ]
 
+ROUND2 = [
+    ("H40-v2.6", 40, (("v_ref", 2.6),)),
+    ("H50-v2.2", 50, (("v_ref", 2.2),)),
+    ("H40-v2.2-K64", 40, (("v_ref", 2.2),)),   # n_samples=64 below
+    ("H25-v2.2", 25, (("v_ref", 2.2),)),
+]
+
 rows = []
-for label, H, ov in CONFIGS:
+todo = ROUND2 if os.environ.get("SWEEP_ROUND") == "2" else CONFIGS
+for label, H, ov in todo:
     t0 = time.time()
     out, _ = run(seconds=args.seconds, replan_every=2, verbose=False,
-                 horizon=H, cost_overrides=ov)
+                 horizon=H, n_samples=64 if label.endswith("K64") else 32,
+                 cost_overrides=ov)
     perf = out["per_jump_performance"]
     row = {
         "label": label, "horizon": H, "overrides": dict(ov),

@@ -131,17 +131,22 @@ def run_to_touchdown(seed):
 
 print("collecting touchdown bank...", flush=True)
 t0 = time.time()
-bank_states, bank_obs, n_try = [], [], 0
+bank_states, bank_obs, n_try, n_rot = [], [], 0, 0
 seed = 0
 while len(bank_states) < args.bank and n_try < 4 * args.bank:
     st, ob, rot, crashed = run_to_touchdown(seed)
     seed += 1
     n_try += 1
-    if rot and not crashed:
+    # keep EVERY reached touchdown, under-rotated flips included — the
+    # attempt-2 failure mode was exactly the held-out scenarios whose
+    # launch under-rotates (354-359 deg): a rotation-filtered bank never
+    # shows the MLP those touchdown attitudes, so it cannot recover them
+    if not crashed:
         bank_states.append(st)
         bank_obs.append(ob)
-print(f"bank: {len(bank_states)}/{n_try} scenarios completed the flip "
-      f"({time.time() - t0:.0f}s)", flush=True)
+        n_rot += int(rot)
+print(f"bank: {len(bank_states)}/{n_try} touchdowns kept "
+      f"({n_rot} full rotations) ({time.time() - t0:.0f}s)", flush=True)
 bank = jax.tree.map(lambda *xs: jnp.stack(xs), *bank_states)
 bank_obs = jnp.stack(bank_obs)
 n_train = int(0.75 * len(bank_states))

@@ -38,11 +38,19 @@ def test_jumping_forward_clears_distance(driver):
     assert result["final_z"] > 0.15, result
 
 
-def test_continuous_jumping_mpc_sustains_four_jumps():
+def test_continuous_jumping_mpc_sustains_four_good_jumps():
+    """Gate on GOOD jumps, not flight-phase count (VERDICT r3 weak #4):
+    the task's own scorer (JumpingForwardContinuous3, reference
+    robot_tasks.py:168-212) credits a jump as good at per-jump
+    performance >= 0.7 — the reference's OWN bound for this task class
+    (its base-class 0.85 is overridden to 0.7 at robot_tasks.py:175).
+    The round-4 sweep config (H=40, v_ref=2.2 —
+    docs/continuous_sweep_r4.jsonl) measures 9 good @0.7 / 6 @0.85."""
     from examples.run_continuous_jumping_mpc import run
     out, _ = run(seconds=6.0, verbose=False)
     assert out["sim_seconds"] >= 5.0, out
-    assert out["n_jumps"] >= 4, out
-    # forward progress across the run and per-jump stats populated
-    assert out["total_fwd_m"] > 0.4, out
-    assert len(out["per_jump_performance"]) >= 4, out
+    assert out["good_jumps"] >= 4, out
+    perf = out["per_jump_performance"]
+    # at least 2 jumps clear even the base-class 0.85 bound
+    assert sum(p >= 0.85 for p in perf) >= 2, out
+    assert out["total_fwd_m"] > 4.0, out
