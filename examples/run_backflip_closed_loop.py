@@ -132,16 +132,97 @@ def run(launch: str = "policy", crouch_knots: int = 6, max_steps: int = 60,
     return result, state
 
 
+MLP_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "policies", "backflip_landing_mlp.npz")
+
+
+def run_robust(seeds, nominal: bool = False, max_steps: int = 120,
+               verbose: bool = True):
+    """Robust backflip under the full TEST_RANDOMIZER stack: the linear
+    launch policy flies the flip, the v2 autopilot
+    (landing_wrapper_backflip2.py:50,72-83) hands control back at
+    touchdown, and the small-MLP LANDING policy
+    (scripts/train_backflip_landing_mlp.py, committed
+    examples/policies/backflip_landing_mlp.npz) stabilizes to the strict
+    upright pose. Returns one result dict per seed."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from quadruped_springs_tpu.env import wrappers as wr
+    from quadruped_springs_tpu.env.env import EnvConfig, QuadrupedEnv
+    from quadruped_springs_tpu.models import spatial as sp
+    from quadruped_springs_tpu.train import normalize as vnorm
+    from quadruped_springs_tpu.train.networks import linear_policy_apply
+
+    env = QuadrupedEnv(EnvConfig(
+        enable_springs=True, task_env="BACKFLIP",
+        observation_space_mode="ARS_BACKFLIP",
+        action_space_mode="SYMMETRIC", obs_noise=not nominal,
+        max_ep_len=4.0,
+        env_randomizer_mode="GROUND_RANDOMIZER" if nominal
+        else "TEST_RANDOMIZER"))
+    w = wr.LandingWrapperBackflip(env, variant="until_grounded")
+
+    d = np.load(POLICY_PATH)
+    W = jnp.asarray(d["W"])
+    on = vnorm.RunningNorm(mean=jnp.asarray(d["mean"]),
+                           var=jnp.asarray(d["var"]),
+                           count=jnp.asarray(d["count"]))
+    m = np.load(MLP_PATH)
+    mlp = {k: jnp.asarray(m[k]) for k in ("W1", "b1", "W2", "b2")}
+
+    def mlp_apply(o):
+        h = jnp.tanh(mlp["W1"] @ o + mlp["b1"])
+        return jnp.clip(mlp["W2"] @ h + mlp["b2"], -1.0, 1.0)
+
+    results = []
+    for seed in seeds:
+        state, obs = env.reset(jax.random.PRNGKey(seed))
+        wstate = w.init_state()
+        for _ in range(max_steps):
+            o = vnorm.normalize(on, obs)
+            a = linear_policy_apply(W, o) if bool(wstate.armed) else mlp_apply(o)
+            out, wstate = w.step(state, a, wstate)
+            state, obs = out.state, out.obs
+            if bool(out.done):
+                break
+        R = np.asarray(sp.quat_to_mat(state.robot.quat))
+        pitch = float(state.task.max_pitch_bf)
+        r = {
+            "seed": seed,
+            "full_rotation": bool(pitch >= 2 * np.pi - 0.1),
+            "upright": bool(R[2, 2] > 0.85 and float(state.robot.pos[2]) > 0.15),
+            "pitch_deg": float(np.degrees(pitch)),
+            "up_z": float(R[2, 2]),
+            "final_z": float(state.robot.pos[2]),
+        }
+        results.append(r)
+        if verbose:
+            print(f"seed {seed}: pitch {r['pitch_deg']:.0f} deg "
+                  f"up_z {r['up_z']:+.2f} z {r['final_z']:.2f} "
+                  f"rot={r['full_rotation']} upright={r['upright']}")
+    return results
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--launch", default="policy",
                     choices=("policy", "mpc", "script"))
+    ap.add_argument("--robust", action="store_true",
+                    help="run the randomized-scenario robust backflip "
+                         "(linear launch + MLP landing policy)")
     ap.add_argument("--crouch-knots", type=int, default=6)
     ap.add_argument("--max-steps", type=int, default=60)
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.robust:
+        res = run_robust([77000 + s for s in range(12)])
+        n_rot = sum(r["full_rotation"] for r in res)
+        n_up = sum(r["full_rotation"] and r["upright"] for r in res)
+        print(f"rotation {n_rot}/12, strict upright {n_up}/12")
+        return
     run(args.launch, args.crouch_knots, args.max_steps)
 
 

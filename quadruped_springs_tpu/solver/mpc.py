@@ -89,6 +89,13 @@ class MPCConfig:
     # Impact-damping clamp (SimParams.clamp_damping): required on the stiff
     # execution model, optional on the relaxed planner (off = ~1.8x faster).
     clamp_damping: bool = False
+    # Action-interface task override: the control interface's action
+    # scaling is task-dependent (BACKFLIP raises the rear-thigh upper
+    # limits — control/interfaces.py, reference motor_interface.py:20-22),
+    # so a solver planning a DIFFERENT cost inside a backflip episode
+    # (e.g. task="RECOVERY" get-up demos) must still emit actions in the
+    # episode's action semantics. None = same as `task`.
+    iface_task: str | None = None
     # lax.scan unroll factor for the 1 kHz substep loop inside one planner
     # knot — a full-rate (10-substep) perf knob; measure before trusting
     # (XLA schedule luck: unroll hurt the iLQR sweeps, memory shows).
@@ -130,7 +137,7 @@ class MPCProblem:
         self.cfg = go1_config(config.enable_springs)
         self.iface = ci.make_interface(
             self.cfg, config.motor_control_mode, config.action_space_mode,
-            config.task)
+            config.iface_task or config.task)
         self.action_dim = self.iface.action_dim
         knot_dt = config.time_step * config.action_repeat
         self.sim_params = dyn.default_sim_params(

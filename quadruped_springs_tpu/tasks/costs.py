@@ -185,6 +185,54 @@ def make_cost(task: str, cfg: Go1Config, action_dim: int, horizon: int,
 
         return stage, terminal
 
+    if task == "RECOVERY":
+        # post-touchdown righting/catching: from a tilted landed attitude,
+        # recover the strict upright stand (up_z>0.85, z>0.15 — the
+        # BACKFLIP save bar, task_base.py:123-135 fallen test). This is
+        # the GoToRest capability (go_to_rest_wrapper.py:8-95) posed as an
+        # MPC cost. Two termination surfaces of the env are encoded as
+        # penalties so the plan stays inside the episode: the bumper-
+        # clearance term keeps knee/trunk sites off the ground (non-foot
+        # ground contact = instant invalid-contact termination,
+        # quadruped.py:224-258 / dynamics.py contact sites 4+ — measured:
+        # tilted backflip touchdowns terminate on the FIRST knot without
+        # an active catch), and the stand-height term keeps z above the
+        # fallen bar. Used by scripts to synthesize catch/get-up
+        # demonstrations that gradient/ARS landers cannot discover
+        # locally (the "hold still" local optimum measured in
+        # scripts/diag_backflip_robust.py).
+        from quadruped_springs_tpu.models import dynamics as dyn
+        from quadruped_springs_tpu.models import go1_params as gp
+
+        model = gp.build_model()
+        w_up, w_z, w_q, w_w, w_clear = 60.0, 30.0, 1.0, 0.3, 2000.0
+        clear_margin = 0.01
+
+        def bumper_violation(x):
+            st = dyn.RobotState(pos=_pos(x), quat=_quat(x), lin_vel=_vel(x),
+                                ang_vel=_omega(x), q=_q(x), qd=_qd(x))
+            p_w, _, radii, _ = dyn.site_state_world(model, st)
+            gap = p_w[4:, 2] - radii[4:] - clear_margin
+            return jnp.sum(jnp.minimum(gap, 0.0) ** 2)
+
+        def stage(x, u, t):
+            return (base_stage(x, u, t)
+                    + w_up * 0.25 * _upright(x)
+                    + w_z * 0.1 * (_pos(x)[2] - 0.30) ** 2
+                    + w_w * jnp.sum(_omega(x) ** 2)
+                    + w_q * 0.1 * _posture(cfg, x)
+                    + w_clear * bumper_violation(x))
+
+        def terminal(x):
+            return (w_up * _upright(x)
+                    + w_z * (_pos(x)[2] - 0.30) ** 2
+                    + w_q * _posture(cfg, x)
+                    + w_w * jnp.sum(_omega(x) ** 2)
+                    + 0.5 * jnp.sum(_vel(x) ** 2)
+                    + w_clear * bumper_violation(x))
+
+        return stage, terminal
+
     # NO_TASK / fallback: regulation to the init pose
     def stage(x, u, t):
         return base_stage(x, u, t) + 0.5 * _posture(cfg, x)
