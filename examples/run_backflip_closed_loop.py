@@ -134,17 +134,23 @@ def run(launch: str = "policy", crouch_knots: int = 6, max_steps: int = 60,
 
 MLP_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "policies", "backflip_landing_mlp.npz")
+LAUNCH_ROBUST_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "policies", "backflip_launch_robust.npz")
 
 
 def run_robust(seeds, nominal: bool = False, max_steps: int = 120,
                verbose: bool = True):
-    """Robust backflip under the full TEST_RANDOMIZER stack: the linear
-    launch policy flies the flip, the v2 autopilot
-    (landing_wrapper_backflip2.py:50,72-83) hands control back at
-    touchdown, and the small-MLP LANDING policy
-    (scripts/train_backflip_landing_mlp.py, committed
-    examples/policies/backflip_landing_mlp.npz) stabilizes to the strict
-    upright pose. Returns one result dict per seed."""
+    """Robust backflip under the full TEST_RANDOMIZER stack: the JOINTLY
+    trained linear launch policy (backflip_launch_robust.npz) flies the
+    flip, the v2 autopilot (landing_wrapper_backflip2.py:50,72-83) hands
+    control back at touchdown, and the small-MLP LANDING policy
+    (committed examples/policies/backflip_landing_mlp.npz) stabilizes to
+    the strict upright pose. Both artifacts come from one joint ARS run
+    over the flattened vmappable episode
+    (scripts/train_backflip_robust_joint.py; lander-only training
+    plateaus at ~6/12 because tilted touchdowns drive a knee bumper into
+    the ground inside the first knot after handoff — the launch must
+    deliver survivable attitudes). Returns one result dict per seed."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -163,7 +169,7 @@ def run_robust(seeds, nominal: bool = False, max_steps: int = 120,
         else "TEST_RANDOMIZER"))
     w = wr.LandingWrapperBackflip(env, variant="until_grounded")
 
-    d = np.load(POLICY_PATH)
+    d = np.load(LAUNCH_ROBUST_PATH)
     W = jnp.asarray(d["W"])
     on = vnorm.RunningNorm(mean=jnp.asarray(d["mean"]),
                            var=jnp.asarray(d["var"]),
