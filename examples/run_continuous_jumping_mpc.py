@@ -76,22 +76,14 @@ def run(seconds: float = 6.0, replan_every: int = 2, seed: int = 0,
         if bool(done):
             break
 
-    ts = state.task
-    n_jumps = int(ts.jump_counter)
-    perf = np.asarray(ts.performance_array)[:max(n_jumps, 1)]
-    fwd = np.asarray(ts.fwd_array)[:max(n_jumps, 1)]
-    hts = np.asarray(ts.height_array)[:max(n_jumps, 1)]
-    out = {
-        "sim_seconds": round(float(env.sim_time(state)), 2),
-        "n_jumps": n_jumps,
-        "good_jumps": int(ts.good_jump_counter),
-        "per_jump_fwd_m": [round(float(v), 3) for v in fwd],
-        "per_jump_height_m": [round(float(v), 3) for v in hts],
-        "per_jump_performance": [round(float(v), 3) for v in perf],
+    from quadruped_springs_tpu.tasks.tasks import continuous_jump_stats
+    out = {"sim_seconds": round(float(env.sim_time(state)), 2)}
+    out.update(continuous_jump_stats(state.task))
+    out.update({
         "total_fwd_m": round(xs_track[-1] - xs_track[0], 3) if xs_track else 0.0,
         "final_z_m": round(zs[-1], 3) if zs else 0.0,
         "max_z_m": round(max(zs), 3) if zs else 0.0,
-    }
+    })
     if render_to is not None:
         from quadruped_springs_tpu.utils import render
         recs = {"q": np.stack(rec_q), "base_pos": np.stack(rec_pos),
@@ -114,10 +106,18 @@ def main():
     ap.add_argument("--render-to", default=None,
                     help="optional gif/mp4 path (stick-figure renderer, "
                          "CONTINUOUS_JUMPING_FORWARD camera track)")
+    ap.add_argument("--save-kpis", default=None,
+                    help="write the KPI dict as JSON (the committed "
+                         "artifact is examples/out/continuous_jumping_kpis"
+                         ".json, gated by tests/test_artifacts.py)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    run(args.seconds, args.replan_every, render_to=args.render_to)
+    out, _ = run(args.seconds, args.replan_every, render_to=args.render_to)
+    if args.save_kpis:
+        with open(args.save_kpis, "w") as f:
+            json.dump(out, f, indent=2)
+        print(f"wrote {args.save_kpis}")
 
 
 if __name__ == "__main__":

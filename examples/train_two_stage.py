@@ -356,15 +356,21 @@ def main():
     de = float(demo_eval(ps.params, ps.obs_norm))
     results["ppo_imitate_apex_m"] = ax
     results["ppo_imitate_apex_mean_m"] = am
+    results["ppo_imitate_fwd_m"] = fw
     results["ppo_imitate_demo_return"] = de
     # gate 1: the polish's own closed-loop imitation objective did not
     # regress (>= the BC initializer's deterministic demo return - 2%)
     results["ppo_imitate_demo_improved"] = bool(
         de >= results["bc_demo_return"] - 0.02)
-    # gate 2: transfer held — final-iterate apex mean within 2 cm of the
-    # BC initializer's (the round-3 run missed this by ~0.7 m)
-    results["ppo_imitate_improved"] = bool(
+    # gate 2: transfer HELD — final-iterate apex mean within 2 cm of the
+    # BC initializer's (the round-3 run missed this by ~0.7 m). This is a
+    # no-regress gate, not an improvement gate: a within-tolerance apex-mean
+    # dip still passes (VERDICT r4 weak #2) — the honest claim is "demo
+    # return improved, transfer apex mean held". `ppo_imitate_improved` is
+    # kept as a legacy alias of the same value.
+    results["ppo_imitate_transfer_held"] = bool(
         am >= results["bc_apex_mean_m"] - 0.02)
+    results["ppo_imitate_improved"] = results["ppo_imitate_transfer_held"]
     print(f"[PPO-imitate] final: demo_ret {de:+.3f} (BC "
           f"{results['bc_demo_return']:+.3f})  apex mean {am:.3f} (BC "
           f"{results['bc_apex_mean_m']:.3f})  gates: demo="
@@ -401,9 +407,13 @@ def main():
             rec.update(eval_apex_mean=am2, eval_apex_max=ax2,
                        eval_return=r, eval_fwd_max=fw2)
             # best-model selection on periodic eval (EvalCallback):
-            # score = mean apex (robustness across the randomized bank)
-            if am2 > best_ft[0]:
-                best_ft = (am2, fs)
+            # score = mean apex (robustness across the randomized bank);
+            # on the FORWARD task the score also pays forward distance —
+            # selecting on apex alone let a checkpoint that damages the
+            # task's own axis win (VERDICT r4 weak #3)
+            score = am2 + (0.5 * fw2 if args.task == "forward" else 0.0)
+            if score > best_ft[0]:
+                best_ft = (score, fs)
             if i % 10 == 9:
                 print(f"[PPO-finetune {i:03d}] r {m['mean_reward']:+.4f} "
                       f"kl {m['kl_est']:.4f} ret {r:+.3f} "
@@ -434,6 +444,17 @@ def main():
     bar = 0.95 * min(results["ars_best_apex_m"], cap)
     results["finetune_matches_ars"] = bool(ax >= 0.5 and ax >= bar)
     results["finetune_gate_bar_m"] = bar
+    # Gate vs its OWN INITIALIZER (VERDICT r4 weak #3 / next #4): the
+    # fine-tune stage must not damage the policy it was warm-started
+    # from — best-eval apex mean within 2 cm of the imitation actor's,
+    # and on the forward task forward distance within 5 cm too. A stage
+    # that fails this is recorded as a measured no-op
+    # (finetune_is_noop) instead of silently passing the ARS-cap bar.
+    improves = am >= results["ppo_imitate_apex_mean_m"] - 0.02
+    if args.task == "forward":
+        improves = improves and fw >= results["ppo_imitate_fwd_m"] - 0.05
+    results["finetune_improves_on_initializer"] = bool(improves)
+    results["finetune_is_noop"] = bool(not improves)
     results["wall_s"] = round(time.time() - t_start, 1)
 
     out_json = os.path.join(args.out, T["results"])
@@ -445,8 +466,10 @@ def main():
         "bc_demo_return", "ppo_imitate_apex_m", "ppo_imitate_apex_mean_m",
         "ppo_imitate_demo_return", "ppo_imitate_demo_improved",
         "ppo_imitate_improved", "ppo_finetune_final_apex_m",
-        "ppo_finetune_final_apex_mean_m", "ppo_finetune_last_iter_apex_m",
-        "finetune_matches_ars", "wall_s")}))
+        "ppo_finetune_final_apex_mean_m", "ppo_finetune_final_fwd_m",
+        "ppo_finetune_last_iter_apex_m", "finetune_matches_ars",
+        "finetune_improves_on_initializer", "finetune_is_noop",
+        "wall_s")}))
 
     try:
         import matplotlib

@@ -80,7 +80,9 @@ def run_config(enable_springs: bool, iters: int, seed: int) -> dict:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=250)
+    # 150 is the committed comparison budget (docs/springs_vs_rigid_learned
+    # .json, pinned by tests/test_artifacts.py) — keep the default in sync
+    ap.add_argument("--iters", type=int, default=150)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default="docs/springs_vs_rigid_learned.json")

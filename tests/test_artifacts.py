@@ -46,10 +46,18 @@ def test_two_stage_forward_stage_gates():
     assert r["ppo_imitate_demo_improved"]
     assert r["ppo_imitate_improved"]
     assert r["finetune_matches_ars"]
-    # known-thin stage, disclosed in README: the dense fine-tune's best
-    # checkpoint arrives early and reward does not improve end-to-end —
-    # pin the disclosure so a silent regeneration can't contradict it.
     assert r["ppo_finetune_final_apex_m"] >= r["finetune_gate_bar_m"]
+    # the fine-tune stage is additionally gated against its OWN
+    # initializer (finetune_improves_on_initializer — apex mean within
+    # 2 cm AND fwd within 5 cm of the imitation actor's); a stage that
+    # fails it must be recorded as a measured no-op, and the README's
+    # disclosure must match the artifact (ADVICE r4 #3: assert the
+    # field, don't just comment about it). Presence-guarded until the
+    # round-5 regeneration lands (the r4 artifact predates the field).
+    if "finetune_is_noop" in r:
+        assert r["finetune_is_noop"] == (
+            not r["finetune_improves_on_initializer"])
+    assert "ppo_finetune_reward_improved" in r
 
 
 def test_continuous_jumping_kpis_good_jumps():
@@ -78,8 +86,12 @@ def test_springs_vs_rigid_learned():
     assert s["enable_springs"] and not g["enable_springs"]
     # budget-matched ARS (identical config/seed/iters, no early stop):
     # springs must out-jump rigid by a real margin AND get there faster.
+    assert r["iters"] == 150               # the documented comparison budget
     assert r["springs_advantage_pct"] > 15.0
     assert s["best_apex_m"] > 0.9
     assert g["best_apex_m"] > 0.6          # rigid still learns to jump
     assert s["final10_apex_mean_m"] > g["final10_apex_mean_m"] + 0.1
-    assert s["iters_to_0p75m"] < g["iters_to_0p75m"]
+    # None = never reached 0.75 m within the budget (treat as infinity —
+    # rigid never reaching the bar is the STRONGER springs result)
+    si, gi = s["iters_to_0p75m"], g["iters_to_0p75m"]
+    assert si is not None and (gi is None or si < gi)
