@@ -60,7 +60,8 @@ def _select(pred, a, b):
 
 
 def backflip_episode(env: QuadrupedEnv, launch_fn, lander_fn,
-                     state0: EnvState, obs0: jnp.ndarray, n_knots: int):
+                     state0: EnvState, obs0: jnp.ndarray, n_knots: int,
+                     record_rows: bool = False):
     """Run one flattened backflip episode for a fixed n_knots.
 
     launch_fn/lander_fn: obs -> action in [-1,1]^6 (normalization inside).
@@ -69,8 +70,14 @@ def backflip_episode(env: QuadrupedEnv, launch_fn, lander_fn,
     callers jit/vmap the composition themselves.
     Returns (final_state_frozen_at_done, final_phase, traj) where traj is a
     dict of per-knot stacks: obs (input to the knot), action, phase code
-    (0 launch / 1 flip / 2 descent / 3 landed), up_z, z, done, returned.
+    (0 launch / 1 flip / 2 descent / 3 landed), up_z, z, done, returned,
+    reward — plus, with record_rows=True, "row": demonstration rows in the
+    reference layout (get_demonstration_wrapper.py:36-52 — filtered action
+    + full post-step robot state + landing flag), so flattened flip
+    episodes double as the backflip demo collector (get_demonstrations.py
+    role for the BACKFLIP task).
     """
+    from quadruped_springs_tpu.utils import demo as demo_util
     take_off = LandingWrapperBackflip.TAKE_OFF_ACTION
     thr = LandingWrapperBackflip.PITCH_THRESHOLD
     landing = jnp.asarray(env.get_landing_action())
@@ -107,6 +114,13 @@ def backflip_episode(env: QuadrupedEnv, launch_fn, lander_fn,
                "up_z": R22, "z": state_n.robot.pos[2],
                "done": ph_n.done, "returned": ph_n.returned,
                "reward": jnp.where(ph.done, 0.0, r)}
+        if record_rows:
+            # landing flag follows the reference's landing_started
+            # semantics (switched & descending, latched — here: the
+            # descent phase onward); rows past done are marked invalid
+            out["row"] = demo_util.demo_row(
+                state_n.last_filtered_action, state_n.robot, ph_n.pitch_passed)
+            out["row_valid"] = ~ph.done
         return (state_n, obs_n, ph_n), out
 
     (state_f, _, ph_f), traj = jax.lax.scan(

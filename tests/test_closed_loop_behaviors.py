@@ -39,12 +39,24 @@ def test_backflip_robust_randomized_scenarios_land_strict_upright():
     committed examples/policies/backflip_launch_robust.npz +
     backflip_landing_mlp.npz) must complete the rotation AND land strict
     upright (up_z>0.85, z>0.15) under the full TEST_RANDOMIZER stack with
-    obs noise, on held-out seeds. The committed artifacts measure 12/12
-    on seeds 77000-77011 (docs/ROUND4.md item 2); this gate runs 3 of
-    them (CPU episodes cost ~55 s each) and allows no failures — the
-    artifact's margins are up_z=+1.00 vs the 0.85 bar."""
+    obs noise. Seeds are drawn from the FRESH-SEED validation artifact
+    (examples/out/backflip_robust_validation.json, seeds 88000+ — never
+    used by any trainer, probe, or save gate; VERDICT r4 weak #4: the
+    old 77000-77011 seeds were the trainer's own save-gate seeds, so
+    re-running them was regression protection, not fresh evidence). The
+    artifact measures 24/24 with up_z=+1.00 margins; this gate re-runs 3
+    of those seeds and allows no failures."""
+    import json
+    import os
+
     from examples.run_backflip_closed_loop import run_robust
-    results = run_robust([77000, 77005, 77011], verbose=False)
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(
+            here, "examples/out/backflip_robust_validation.json")) as f:
+        val = json.load(f)
+    seeds = [val["seeds"][0], val["seeds"][len(val["seeds"]) // 2],
+             val["seeds"][-1]]
+    results = run_robust(seeds, verbose=False)
     for r in results:
         assert r["full_rotation"], r
         assert r["upright"], r
