@@ -230,17 +230,28 @@ class PPOTrainer:
         mean, log_std, value = self.net.apply(params, batch["obs_n"])
         logp = gaussian_logp(batch["action"], mean, log_std)
         ratio = jnp.exp(logp - batch["logp"])
+        # pg_mask (see rollout.segment_rollout): policy-gradient and KL
+        # terms count only knots where the policy's action was executed —
+        # on autopilot knots (env/continuous_autopilot.py) the stored logp
+        # belongs to an unexecuted action. All-ones for plain envs, where
+        # every weighted statistic below reduces to the unweighted one.
+        m = batch["pg_mask"].astype(jnp.float32)
+        msum = jnp.maximum(jnp.sum(m), 1.0)
         adv = batch["adv"]
-        adv = (adv - adv.mean()) / (adv.std() + 1e-8)
-        pg = -jnp.minimum(
+        a_mean = jnp.sum(adv * m) / msum
+        a_std = jnp.sqrt(jnp.maximum(
+            jnp.sum((adv - a_mean) ** 2 * m) / msum, 0.0))
+        adv = (adv - a_mean) / (a_std + 1e-8)
+        pg = -jnp.sum(jnp.minimum(
             ratio * adv,
-            jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv).mean()
+            jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv) * m
+        ) / msum
         vf = 0.5 * jnp.mean((value - batch["ret"]) ** 2)
         ent = jnp.sum(log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e))
         logratio = logp - batch["logp"]
         # non-negative KL estimator (Schulman's k3, what SB3's target_kl
         # early stop thresholds on)
-        kl_est = jnp.mean(jnp.exp(logratio) - 1.0 - logratio)
+        kl_est = jnp.sum((jnp.exp(logratio) - 1.0 - logratio) * m) / msum
         pg_coef = 0.0 if cfg.freeze_actor else 1.0
         anchor = jnp.asarray(0.0)
         if cfg.anchor_coef > 0.0 and self.anchor_params is not None:
@@ -255,7 +266,8 @@ class PPOTrainer:
                 + cfg.anchor_coef * anchor + cfg.bc_coef * bc_mse), \
             {"pg_loss": pg, "vf_loss": vf, "anchor_mse": anchor,
              "bc_mse": bc_mse,
-             "approx_kl": jnp.mean(batch["logp"] - logp), "kl_est": kl_est}
+             "approx_kl": jnp.sum((batch["logp"] - logp) * m) / msum,
+             "kl_est": kl_est}
 
     @partial(jax.jit, static_argnums=0)
     def train_step(self, ts: PPOState):
@@ -283,6 +295,7 @@ class PPOTrainer:
             "logp": traj["logp"].reshape(-1),
             "adv": advs.reshape(-1),
             "ret": rets.reshape(-1),
+            "pg_mask": traj["pg_mask"].reshape(-1),
         }
         n = batch["logp"].shape[0]
         mb = n // cfg.n_minibatches

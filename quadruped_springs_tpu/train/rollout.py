@@ -143,7 +143,16 @@ def segment_rollout(env: QuadrupedEnv, action_fn: Callable, states, obs,
         obs3 = jnp.where(done[:, None], r_obs, obs2)
         eps3 = jnp.where(done[:, None], 0.0, eps2)
         out = {"obs": obs, "action": action, "logp": logp, "value": value,
-               "reward": r, "done": done}
+               "reward": r, "done": done,
+               # pg_mask: knots where the POLICY's action was executed.
+               # Autopilot env adapters (env/continuous_autopilot.py — the
+               # reference trains through its landing wrappers) report
+               # info["policy_in_control"]; on autopilot knots the stored
+               # logp describes an action that never ran, so PPO excludes
+               # them from the surrogate/KL (rewards still flow credit to
+               # the launch decisions through GAE). Plain envs: all-ones.
+               "pg_mask": info.get("policy_in_control",
+                                   jnp.ones_like(done))}
         return (states3, obs3, eps3), out
 
     keys = jax.random.split(key, T)

@@ -359,3 +359,58 @@ def test_flat_rollout_matches_wrapper_episode():
     # the phase trace must contain every mode the wrapper visited
     phases = np.asarray(traj["phase"])
     assert set(np.unique(phases)) >= {0, 1, 2}, phases
+
+
+@pytest.mark.slow
+def test_continuous_autopilot_env_matches_wrapper():
+    """env/continuous_autopilot.py re-expresses LandingWrapperContinuous
+    (hold_landing=True) as per-step action selection; driven by the same
+    scripted hopper it must execute the same env-step sequence: same sim
+    step count over the window, same final pose, and the autopilot must
+    actually engage (>= 1 jump with both TAKEOFF and LANDING knots)."""
+    from quadruped_springs_tpu.env import continuous_autopilot as ca
+
+    env = _env(task_env="CONTINUOUS_JUMPING_FORWARD3",
+               observation_space_mode="PPO_CONTINUOUS_JUMPING_FORWARD",
+               max_ep_len=4.0)
+
+    crouch = jnp.array([0.0, 0.4, -0.8, 0.0, 0.4, -0.8])
+    extend = jnp.array([0.0, -0.4, 1.0, 0.0, -0.4, 1.0])
+
+    def policy(obs):
+        # obs starts with JointPosition(12): FR thigh angle at index 1 —
+        # a relaxation oscillator (crouch until deep, then extend) that
+        # produces repeated hops (measured: 2 jumps before a fall)
+        return jnp.where(obs[1] > 0.95, extend, crouch)
+
+    key = jax.random.PRNGKey(3)
+    # wrapper-driven deployment loop
+    w = wr.LandingWrapperContinuous(env)
+    state, obs = env.reset(key)
+    wstate = w.init_state()
+    n_policy_steps = 90
+    for _ in range(n_policy_steps):
+        out, wstate = w.step(state, wstate, policy(obs))
+        state, obs = out.state, out.obs
+        if bool(out.done):
+            break
+    n_knots = int(state.sim_step_counter) // env.config.action_repeat
+
+    # adapter-driven per-knot loop from the same reset
+    aenv = ca.ContinuousAutopilotEnv(env)
+    astate, aobs = aenv.reset(key)
+    phases = []
+    for _ in range(n_knots):
+        astate, aobs, r, done, info = aenv.step(astate, policy(aobs))
+        phases.append(int(astate.phase))
+        if bool(done):
+            break
+    assert int(astate.env.sim_step_counter) == int(state.sim_step_counter)
+    np.testing.assert_allclose(np.asarray(astate.env.robot.pos),
+                               np.asarray(state.robot.pos), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(astate.env.robot.q),
+                               np.asarray(state.robot.q), atol=5e-3)
+    assert int(astate.env.task.jump_counter) == int(state.task.jump_counter)
+    # the autopilot engaged: both TAKEOFF and LANDING knots occurred
+    assert ca.TAKEOFF in phases and ca.LANDING in phases, set(phases)
+    assert int(state.task.jump_counter) >= 1
