@@ -57,9 +57,16 @@ PEAK_FLOPS = {"TPU v5 lite": 197e12}
 
 
 def main():
-    global BATCH
+    global BATCH, HORIZON
     if "--batch" in sys.argv:
         BATCH = int(sys.argv[sys.argv.index("--batch") + 1])
+    if "--horizon" in sys.argv:
+        # VERDICT r4 weak #6 closing experiment: the relaxed planner model
+        # runs at 200 Hz, so its H=50 spans 0.25 s; a full-rate (100 Hz)
+        # solve covering the SAME 0.25 s needs only H=25 —
+        # `--full-rate --horizon 25` benches that configuration against
+        # the same 625 solves/s/chip bar.
+        HORIZON = int(sys.argv[sys.argv.index("--horizon") + 1])
     use_ilqr = "--ilqr" in sys.argv
     full_rate = "--full-rate" in sys.argv
     exact = "--exact" in sys.argv   # classic f32 full-relinearization iLQR

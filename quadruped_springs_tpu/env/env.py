@@ -80,6 +80,15 @@ class EnvConfig:
     # reward a state-action function again; gamma=0.3 already makes
     # episode-length return differences irrelevant.
     demo_norm: str = "remaining"
+    # Interface-construction task override. The PD interface raises the
+    # rear-thigh upper limits only for task_env == "BACKFLIP" exactly
+    # (motor_interface.py:20-22 — BACKFLIP_DEMO / BACKFLIP_PPO do NOT get
+    # the raise in the reference either), so actions recorded on the
+    # BACKFLIP task scale to DIFFERENT joint targets on the demo/dense
+    # tasks. Backflip imitation/fine-tune envs pass iface_task="BACKFLIP"
+    # to scale actions identically across the pipeline's stages (the
+    # MPCConfig.iface_task precedent). None = use task_env.
+    iface_task: str | None = None
 
 
 @struct.dataclass
@@ -114,7 +123,7 @@ class QuadrupedEnv:
         self.cfg = go1_config(config.enable_springs)
         self.iface = ci.make_interface(
             self.cfg, config.motor_control_mode, config.action_space_mode,
-            config.task_env)
+            config.iface_task or config.task_env)
         self.action_dim = self.iface.action_dim
         td = tk.get_task(config.task_env)
         if config.env_randomizer_mode != "NONE" and rnd.is_curriculum(
