@@ -283,6 +283,7 @@ def test_ppo_bc_anchor_term_in_loss():
         "logp": jnp.zeros(n),
         "adv": jax.random.normal(jax.random.PRNGKey(2), (n,)),
         "ret": jnp.zeros(n),
+        "pg_mask": jnp.ones(n, bool),
     }
     bo = jax.random.normal(jax.random.PRNGKey(3), (32, env.obs_dim))
     ba = jax.random.normal(jax.random.PRNGKey(4), (32, env.action_dim))
