@@ -261,9 +261,17 @@ def main():
         settling_steps=600, max_ep_len=2.5, demo_norm="full"),
         demo_actions=demo_util.demo_actions(demo0, jump_env.action_dim))
 
-    # BC-anchored polish configuration (diag_imitate_r4.py arm W/Y)
+    # BC-anchored polish configuration (diag_imitate_r4.py arm W/Y).
+    # Polish lr: 3e-4 on IN_PLACE (the committed round-4 configuration —
+    # near-identical demos, the polish improves at this lr), 1e-4 on
+    # FORWARD (measured round 5, same finding as the flip pipeline: with
+    # diverse demos the 3e-4 polish oscillates the demo return far
+    # below its BC initializer — 0.766 -> 0.643/0.553 under two anchor
+    # choices — instead of polishing it)
     ppo_cfg = PPOConfig(n_envs=32, segment_len=64, reset_bank_size=16,
-                        gamma=0.3, gae_lambda=0.9, lr=3e-4, kl_stop=0.03,
+                        gamma=0.3, gae_lambda=0.9,
+                        lr=1e-4 if args.task == "forward" else 3e-4,
+                        kl_stop=0.03,
                         freeze_obs_norm=True, noise_rho=0.0, bc_coef=300.0)
     ppo_im = PPOTrainer(demo_env, ppo_cfg, demo=demo0)
     ppo_im_warm = PPOTrainer(
@@ -324,8 +332,22 @@ def main():
           f"apex mean {am:.3f} max {ax:.3f} fwd {fw:.3f} "
           f"demo_ret {results['bc_demo_return']:+.3f}", flush=True)
 
-    ppo_im.set_bc_anchor(vnorm.normalize(bc_norm, bc_obs), bc_acts)
-    ppo_im_warm.set_bc_anchor(vnorm.normalize(bc_norm, bc_obs), bc_acts)
+    # Anchor choice (measured on the flip pipeline, round 5): the polish
+    # reward judges tracking of demo0 specifically (demo_env.demo_actions
+    # = demo0), so where the demos are DIVERSE the anchor must be demo0's
+    # own rows — an all-demo anchor parks the actor at the demo average
+    # and fights the demo0 reward (forward run with the all-demo anchor:
+    # demo return 0.766 -> 0.643 within 10 iters, never recovered; the
+    # flip measured the same at two lrs). On IN_PLACE the demos are
+    # near-identical and the all-demo anchor is the committed round-4
+    # configuration, kept for artifact provenance.
+    if args.task == "forward":
+        anchor_obs, anchor_acts = obs_list[0], act_list[0]
+    else:
+        anchor_obs, anchor_acts = bc_obs, bc_acts
+    ppo_im.set_bc_anchor(vnorm.normalize(bc_norm, anchor_obs), anchor_acts)
+    ppo_im_warm.set_bc_anchor(vnorm.normalize(bc_norm, anchor_obs),
+                              anchor_acts)
     ps = ppo_im.init(jax.random.PRNGKey(1))
     ps = ps.replace(params=bc_params, obs_norm=bc_norm,
                     opt_state=ppo_im.tx.init(bc_params))
@@ -359,9 +381,13 @@ def main():
     results["ppo_imitate_fwd_m"] = fw
     results["ppo_imitate_demo_return"] = de
     # gate 1: the polish's own closed-loop imitation objective did not
-    # regress (>= the BC initializer's deterministic demo return - 2%)
-    results["ppo_imitate_demo_improved"] = bool(
+    # regress (>= the BC initializer's deterministic demo return - 2%).
+    # Named for what it tests (VERDICT r4 weak #2): _held is the gate;
+    # strict improvement is recorded separately and NOT required.
+    results["ppo_imitate_demo_held"] = bool(
         de >= results["bc_demo_return"] - 0.02)
+    results["ppo_imitate_demo_improved"] = bool(
+        de > results["bc_demo_return"])
     # gate 2: transfer HELD — final-iterate apex mean within 2 cm of the
     # BC initializer's (the round-3 run missed this by ~0.7 m). This is a
     # no-regress gate, not an improvement gate: a within-tolerance apex-mean
@@ -373,9 +399,36 @@ def main():
     results["ppo_imitate_improved"] = results["ppo_imitate_transfer_held"]
     print(f"[PPO-imitate] final: demo_ret {de:+.3f} (BC "
           f"{results['bc_demo_return']:+.3f})  apex mean {am:.3f} (BC "
-          f"{results['bc_apex_mean_m']:.3f})  gates: demo="
-          f"{results['ppo_imitate_demo_improved']} "
+          f"{results['bc_apex_mean_m']:.3f})  gates: demo_held="
+          f"{results['ppo_imitate_demo_held']} "
           f"transfer={results['ppo_imitate_improved']}")
+
+    # Stage-output selection (the polish's own no-op machinery, same
+    # honesty rule as the fine-tune's): the polish is the stage output
+    # ONLY if both its gates pass; otherwise it is recorded as a no-op
+    # and the fine-tune warm-starts from the BC initializer — a stage
+    # that measurably damaged its warm start must not ship it. Measured
+    # (round 5, FORWARD): with 6 DIVERSE demos the final-iterate demo
+    # return regresses in every arm tried (all-demo anchor @3e-4: 0.766
+    # -> 0.643; demo0 @3e-4: 0.553; demo0 @1e-4: 0.620 — while the
+    # dense-task transfer apex mean actually rose 0.554 -> 0.608), so
+    # on forward the shipped warm start is BC. On IN_PLACE (near-identical
+    # demos) the polish passes both gates and improves (round 4).
+    polish_ok = (results["ppo_imitate_demo_held"]
+                 and results["ppo_imitate_transfer_held"])
+    results["ppo_imitate_is_noop"] = bool(not polish_ok)
+    if polish_ok:
+        warm_params, warm_norm = ps.params, ps.obs_norm
+        results["warmstart_stage"] = "ppo_imitate"
+        results["warmstart_apex_mean_m"] = am
+        results["warmstart_fwd_m"] = fw
+    else:
+        warm_params, warm_norm = bc_params, bc_norm
+        results["warmstart_stage"] = "bc"
+        results["warmstart_apex_mean_m"] = results["bc_apex_mean_m"]
+        results["warmstart_fwd_m"] = results["bc_fwd_m"]
+        print("[PPO-imitate] polish gates failed -> recorded as no-op; "
+              "fine-tune warm-starts from BC")
 
     # ---- Stage 4: PPO fine-tune on the dense task, warm-started ---------
     # trains through RestTruncationWrapper (see header); eval = raw env
@@ -390,13 +443,18 @@ def main():
     # imitation ACTOR + obs statistics; FRESH critic (the imitation critic
     # is fitted to ~1/demo_len-scale rewards and its value error on the
     # dense task otherwise swamps the shared update)
-    fs = ppo_ft.warm_start(fs, ps.params, ps.obs_norm,
+    fs = ppo_ft.warm_start(fs, warm_params, warm_norm,
                            jax.random.PRNGKey(3), reset_value=True)
     for i in range(args.ppo_critic_warmup_iters):
         fs, m = ppo_warm.train_step(fs)
         if i % 10 == 9:
             print(f"[PPO-critic-warmup {i:03d}] vf_loss "
                   f"{float(m['vf_loss']):.5f}", flush=True)
+    # The ARS-cap bar, needed by forward's selection criterion below:
+    # the dense reward pays height only up to ~0.68 m above stand (see
+    # the gate comment further down), so the stage is held to
+    # 0.95 x min(ARS apex, cap).
+    ft_bar = 0.95 * min(results["ars_best_apex_m"], 0.68)
     curve_ft = []
     best_ft = (-9.9, fs)
     for i in range(args.ppo_finetune_iters):
@@ -406,12 +464,27 @@ def main():
             r, ln, am2, ax2, fw2 = (float(x) for x in probe(fs.params, fs.obs_norm))
             rec.update(eval_apex_mean=am2, eval_apex_max=ax2,
                        eval_return=r, eval_fwd_max=fw2)
-            # best-model selection on periodic eval (EvalCallback):
-            # score = mean apex (robustness across the randomized bank);
-            # on the FORWARD task the score also pays forward distance —
-            # selecting on apex alone let a checkpoint that damages the
-            # task's own axis win (VERDICT r4 weak #3)
-            score = am2 + (0.5 * fw2 if args.task == "forward" else 0.0)
+            # best-model selection on periodic eval (the reference's
+            # EvalCallback role). IN_PLACE: mean apex (robustness across
+            # the randomized bank; the committed round-4 criterion).
+            # FORWARD: the stage's own success criteria, as the minimum
+            # margin over its three gates (ARS-cap apex bar; apex-mean
+            # and forward-distance retention vs the warm start) — a
+            # scalar mix (apex + 0.5*fwd, round-5 first attempt) let a
+            # high-fwd checkpoint win while falling 0.05 below the apex
+            # bar, i.e. the selector and the gates disagreed about what
+            # "best" means; selecting on the gates' own worst margin
+            # extracts the checkpoint that retains BOTH axes when one
+            # exists (measured: iter 9, apex 0.663/mean 0.568/fwd 2.16,
+            # every gate positive) and degrades gracefully when none
+            # does.
+            if args.task == "forward":
+                score = min(
+                    ax2 - ft_bar,
+                    am2 - (results["warmstart_apex_mean_m"] - 0.02),
+                    fw2 - (results["warmstart_fwd_m"] - 0.05))
+            else:
+                score = am2
             if score > best_ft[0]:
                 best_ft = (score, fs)
             if i % 10 == 9:
@@ -440,19 +513,19 @@ def main():
     # above stand: height pays only below 1.0 m absolute,
     # robot_tasks.py:259-287 — a policy optimizing the dense task
     # rationally does not jump past what it is paid for).
-    cap = 0.68
-    bar = 0.95 * min(results["ars_best_apex_m"], cap)
+    bar = ft_bar
     results["finetune_matches_ars"] = bool(ax >= 0.5 and ax >= bar)
     results["finetune_gate_bar_m"] = bar
     # Gate vs its OWN INITIALIZER (VERDICT r4 weak #3 / next #4): the
     # fine-tune stage must not damage the policy it was warm-started
-    # from — best-eval apex mean within 2 cm of the imitation actor's,
-    # and on the forward task forward distance within 5 cm too. A stage
-    # that fails this is recorded as a measured no-op
-    # (finetune_is_noop) instead of silently passing the ARS-cap bar.
-    improves = am >= results["ppo_imitate_apex_mean_m"] - 0.02
+    # from — best-eval apex mean within 2 cm of its ACTUAL warm start's
+    # (the selected imitation-stage output, see warmstart_stage), and on
+    # the forward task forward distance within 5 cm too. A stage that
+    # fails this is recorded as a measured no-op (finetune_is_noop)
+    # instead of silently passing the ARS-cap bar.
+    improves = am >= results["warmstart_apex_mean_m"] - 0.02
     if args.task == "forward":
-        improves = improves and fw >= results["ppo_imitate_fwd_m"] - 0.05
+        improves = improves and fw >= results["warmstart_fwd_m"] - 0.05
     results["finetune_improves_on_initializer"] = bool(improves)
     results["finetune_is_noop"] = bool(not improves)
     results["wall_s"] = round(time.time() - t_start, 1)
@@ -464,7 +537,8 @@ def main():
     print(json.dumps({k: results[k] for k in (
         "ars_jump_best_apex_m", "ars_best_apex_m", "bc_apex_m",
         "bc_demo_return", "ppo_imitate_apex_m", "ppo_imitate_apex_mean_m",
-        "ppo_imitate_demo_return", "ppo_imitate_demo_improved",
+        "ppo_imitate_demo_return", "ppo_imitate_demo_held",
+        "ppo_imitate_is_noop", "warmstart_stage",
         "ppo_imitate_improved", "ppo_finetune_final_apex_m",
         "ppo_finetune_final_apex_mean_m", "ppo_finetune_final_fwd_m",
         "ppo_finetune_last_iter_apex_m", "finetune_matches_ars",
