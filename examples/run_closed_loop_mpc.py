@@ -5,8 +5,17 @@ solve (or re-warm) the iLQR problem on the relaxed planner model, apply
 the first control to the *stiff execution-rate* simulator, shift the plan.
 Planner/execution model mismatch is absorbed by feedback re-planning.
 
+`--full-rate` runs the round-5 no-transfer-gap configuration instead:
+MPPI planning directly ON the execution-rate stiff model
+(MPCConfig.full_rate(), H=25 — the same 0.25 s window the relaxed H=50
+headline spans; bench row `bench.py --full-rate --horizon 25`, 603.8
+solves/s/chip = 0.97x the north star). Planner and executor share the
+contact constants, so there is no planner->executor model gap for
+feedback to absorb; the planner remains memoryless (no stiction
+anchors — disclosed at MPCConfig.full_rate).
+
 Usage: python examples/run_closed_loop_mpc.py [--cpu] [--steps N]
-       [--replan-every K]
+       [--replan-every K] [--full-rate]
 """
 
 import sys
@@ -34,11 +43,21 @@ from quadruped_springs_tpu.solver.mpc import (
 _G9 = 9.81
 
 
-def run(n_steps: int = 40, replan_every: int = 5, verbose: bool = True):
+def run(n_steps: int = 40, replan_every: int = 5, verbose: bool = True,
+        full_rate: bool = False):
     """Receding-horizon loop; returns closed-loop transfer metrics
-    (consumed by tests/test_transfer.py's closed-loop case)."""
-    prob = MPCProblem(MPCConfig(task="JUMPING_IN_PLACE", horizon=20,
-                                iterations=4, n_alphas=4))
+    (consumed by tests/test_transfer.py's closed-loop case; the
+    full_rate variant by tests/test_transfer.py's no-gap case)."""
+    if full_rate:
+        prob = MPCProblem(MPCConfig.full_rate(
+            task="JUMPING_IN_PLACE", horizon=25, iterations=4))
+        from quadruped_springs_tpu.solver.mppi import MPPIConfig
+        mcfg = MPPIConfig(horizon=25, iterations=4, n_samples=32,
+                          fused_accept=True)
+        solve_keys = jax.random.split(jax.random.PRNGKey(3), n_steps)
+    else:
+        prob = MPCProblem(MPCConfig(task="JUMPING_IN_PLACE", horizon=20,
+                                    iterations=4, n_alphas=4))
     c = prob.cfg
     scen = rnd.nominal_params(c)
     model = rnd.model_from_params(scen)
@@ -71,7 +90,10 @@ def run(n_steps: int = 40, replan_every: int = 5, verbose: bool = True):
     for t in range(n_steps):
         x = state_to_vec(state)
         if t % replan_every == 0:
-            sol = prob.solve(x, u_warm)
+            if full_rate:
+                sol = prob.solve_mppi(x, u_warm, solve_keys[t], mcfg)
+            else:
+                sol = prob.solve(x, u_warm)
             u_warm = sol.us
             # each solve's predicted (ballistic) apex on the relaxed
             # planner model — the closed-loop transfer yardstick is the
@@ -95,7 +117,8 @@ def run(n_steps: int = 40, replan_every: int = 5, verbose: bool = True):
     }
     if verbose:
         print(f"closed-loop MPC, {n_steps} knots @100 Hz "
-              f"(replan every {replan_every}):")
+              f"(replan every {replan_every}, "
+              f"planner: {prob.config.planner_desc}):")
         print(f"  planned apex (max over solves): {out['planned_apex_max_m']:.3f} m")
         print(f"  executed apex (stiff sim): {apex:.3f} m")
         print(f"  height range: [{zs.min():.3f}, {zs.max():.3f}] m")
@@ -110,7 +133,7 @@ def main():
     replan_every = 5
     if "--replan-every" in sys.argv:
         replan_every = int(sys.argv[sys.argv.index("--replan-every") + 1])
-    run(n_steps, replan_every)
+    run(n_steps, replan_every, full_rate="--full-rate" in sys.argv)
 
 
 if __name__ == "__main__":
